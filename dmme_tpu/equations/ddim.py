@@ -1,0 +1,93 @@
+"""DDIM equations (Song et al. 2021) — τ sub-sequences and the implicit
+reverse process.
+
+TPU-native counterpart of reference src/dmme/equations/ddim/ddim.py. Two
+reverse updates are provided:
+
+* :func:`reverse_process` — bug-compatible with the reference, which divides
+  x̂_0 by ``√ᾱ_{τ_{i−1}}`` instead of ``√ᾱ_{τ_i}`` and then drops the
+  direction term by taking only the mean (SURVEY.md §2, deviation 1).
+* :func:`reverse_process_canonical` — the paper's Eq. 12 (η-parameterized),
+  which is what the framework's DDIM sampler uses by default.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dmme_tpu.equations import ddpm as eq_ddpm
+from dmme_tpu.equations.gaussian import Gaussian
+
+
+def linear_tau(timesteps: int, sub_timesteps: int) -> jax.Array:
+    """τ_i = round(T/S · i), length ``S+1`` with τ_0 = 0.
+
+    Reference: src/dmme/equations/ddim/ddim.py:9-20. ``jnp.round`` and
+    ``torch.round`` both round half to even, so the tables match exactly.
+    """
+    all_i = jnp.arange(0, sub_timesteps + 1, dtype=jnp.float32)
+    c = timesteps / sub_timesteps
+    return jnp.round(c * all_i).astype(jnp.int32)
+
+
+def quadratic_tau(timesteps: int, sub_timesteps: int) -> jax.Array:
+    """τ_i = round(T/S² · i²), length ``S+1`` with τ_0 = 0.
+
+    Reference: src/dmme/equations/ddim/ddim.py:23-34.
+    """
+    all_i = jnp.arange(0, sub_timesteps + 1, dtype=jnp.float32)
+    c = timesteps / (sub_timesteps**2)
+    return jnp.round(c * jnp.square(all_i)).astype(jnp.int32)
+
+
+def predict_x0(x_t: jax.Array, alpha_bar_t: jax.Array, noise_in_x_t: jax.Array) -> jax.Array:
+    """x̂_0 = (x_t − √(1 − ᾱ_t) · ε_θ) / √ᾱ_t (paper-correct denominator)."""
+    return (x_t - jnp.sqrt(1.0 - alpha_bar_t) * noise_in_x_t) * jax.lax.rsqrt(alpha_bar_t)
+
+
+def reverse_process(
+    x_t: jax.Array,
+    alpha_bar_t: jax.Array,
+    alpha_bar_t_minus_one: jax.Array,
+    noise_in_x_t: jax.Array,
+) -> Gaussian:
+    """Reference-compatible deterministic reverse step (σ = 0).
+
+    Divides x̂_0 by ``√ᾱ_{τ_{i−1}}`` — the reference's deviation from the
+    paper (src/dmme/equations/ddim/ddim.py:37-57); callers take only the mean.
+    Kept for output parity with the reference sampler.
+    """
+    predicted_x_0 = (
+        x_t - jnp.sqrt(1.0 - alpha_bar_t) * noise_in_x_t
+    ) * jax.lax.rsqrt(alpha_bar_t_minus_one)
+    return eq_ddpm.forward_process(predicted_x_0, alpha_bar_t_minus_one)
+
+
+def reverse_process_canonical(
+    x_t: jax.Array,
+    alpha_bar_t: jax.Array,
+    alpha_bar_t_minus_one: jax.Array,
+    noise_in_x_t: jax.Array,
+    eta: float = 0.0,
+) -> Gaussian:
+    """Canonical DDIM update (paper Eq. 12), η-parameterized.
+
+    mean = √ᾱ_{t−1} · x̂_0 + √(1 − ᾱ_{t−1} − σ²) · ε_θ
+    σ    = η · √((1 − ᾱ_{t−1})/(1 − ᾱ_t)) · √(1 − ᾱ_t/ᾱ_{t−1})
+
+    η = 0 is the deterministic sampler; η = 1 recovers DDPM ancestral noise.
+    The same update (η = 0) appears in the reference only inside classifier
+    guidance (src/dmme/guidance/classifier.py:52-58).
+    """
+    x0 = predict_x0(x_t, alpha_bar_t, noise_in_x_t)
+    sigma = (
+        eta
+        * jnp.sqrt((1.0 - alpha_bar_t_minus_one) / (1.0 - alpha_bar_t))
+        * jnp.sqrt(1.0 - alpha_bar_t / alpha_bar_t_minus_one)
+    )
+    direction = jnp.sqrt(
+        jnp.clip(1.0 - alpha_bar_t_minus_one - jnp.square(sigma), 0.0)
+    )
+    mean = jnp.sqrt(alpha_bar_t_minus_one) * x0 + direction * noise_in_x_t
+    return Gaussian(mean, jnp.broadcast_to(sigma, mean.shape))
