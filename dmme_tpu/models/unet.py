@@ -1,0 +1,180 @@
+"""The dmme UNet topology, re-expressed as a static layer plan + one linen module.
+
+The reference builds its layer lists imperatively inside ``UNet.__init__``
+(src/dmme/models/ddpm.py:203-279). Here the same topology is computed up
+front by :func:`build_topology` into plain-data specs — easier to test for
+parity (the plan is inspectable without instantiating parameters) and keeps
+the module's ``__call__`` a flat Python loop that unrolls into one static XLA
+graph (no data-dependent control flow).
+
+Skip-connection discipline (parity-critical): the down path records the
+feature map after the input conv AND after every down layer **including the
+DownSamples**; every up-path ResBlock pops one record and channel-concats it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dmme_tpu.models.blocks import (
+    Downsample,
+    ResBlock,
+    TimeEmbedding,
+    Upsample,
+    conv3x3,
+    group_norm,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    kind: Literal["res", "down", "up"]
+    c_out: int
+    attention: bool = False
+
+
+def build_topology(
+    channels_per_depth: Sequence[int],
+    num_blocks: int,
+    attention_depths: Sequence[int],
+) -> Tuple[Tuple[LayerSpec, ...], Tuple[LayerSpec, ...], Tuple[LayerSpec, ...]]:
+    """Compute (down, middle, up) layer plans.
+
+    Mirrors the channel bookkeeping of the reference's constructor
+    (src/dmme/models/ddpm.py:203-279): a flat ``channels`` ladder of
+    ``1 + num_blocks·len(channels_per_depth)`` entries, downsample after each
+    depth's block group except the last, and an up path that walks the ladder
+    backwards inserting an extra (skip-consuming) ResBlock + Upsample at each
+    depth boundary, closing with one final ResBlock at the input width.
+    """
+    cpd = tuple(channels_per_depth)
+    attn = frozenset(attention_depths)
+    ladder = [cpd[0]]
+    for c in cpd:
+        ladder.extend([c] * num_blocks)
+    boundaries = {num_blocks * i for i in range(1, len(cpd))}
+
+    down = []
+    depth = 1
+    for i in range(len(ladder) - 1):
+        down.append(LayerSpec("res", ladder[i + 1], depth in attn))
+        if (i + 1) in boundaries:
+            down.append(LayerSpec("down", ladder[i + 1]))
+            depth += 1
+
+    c_mid = ladder[-1]
+    middle = (LayerSpec("res", c_mid, True), LayerSpec("res", c_mid, False))
+
+    up = []
+    rev = ladder[::-1]
+    depth = len(cpd)
+    for i in range(len(rev) - 1):
+        c_out = rev[i + 1]
+        with_attention = depth in attn
+        layer_num = len(ladder) - 1 - i
+        up.append(LayerSpec("res", c_out, with_attention))
+        if (layer_num - 1) in boundaries:
+            up.append(LayerSpec("res", c_out, with_attention))
+            up.append(LayerSpec("up", c_out))
+            depth -= 1
+    up.append(LayerSpec("res", ladder[0], 1 in attn))
+
+    return tuple(down), middle, tuple(up)
+
+
+class UNet(nn.Module):
+    """Timestep-conditioned UNet denoiser (NHWC).
+
+    One module covers both reference variants:
+
+    * DDPM UNet (src/dmme/models/ddpm.py:176-316): ``film=False``,
+      ``num_heads=1``, ``out_channels = in_channels`` (ε-prediction).
+    * IDDPM UNet (src/dmme/models/iddpm.py:126-265): ``film=True``,
+      ``num_heads=4``, ``out_channels = 2·in_channels`` (ε ‖ v).
+
+    ``remat`` wraps each ResBlock in ``jax.checkpoint`` — recompute
+    activations in the backward pass instead of holding them in HBM.
+    """
+
+    in_channels: int = 3
+    out_channels: int | None = None
+    pos_dim: int = 128
+    emb_dim: int = 512
+    num_groups: int = 32
+    dropout: float = 0.1
+    channels_per_depth: Tuple[int, ...] = (128, 256, 256, 256)
+    num_blocks: int = 2
+    attention_depths: Tuple[int, ...] = (2,)
+    film: bool = False
+    num_heads: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t: jax.Array, *, train: bool = False) -> jax.Array:
+        """Predict noise (and variance interpolation if configured) from NHWC ``x``.
+
+        Args:
+            x: image batch, shape (N, H, W, C), value range [-1, 1].
+            t: integer timesteps, shape (N,) (broadcast from scalars upstream).
+            train: enables dropout (requires a ``dropout`` rng).
+        """
+        down_specs, middle_specs, up_specs = build_topology(
+            self.channels_per_depth, self.num_blocks, self.attention_depths
+        )
+
+        block_cls = nn.remat(ResBlock) if self.remat else ResBlock
+
+        def res(spec: LayerSpec, name: str):
+            return block_cls(
+                c_out=spec.c_out,
+                with_attention=spec.attention,
+                num_heads=self.num_heads,
+                film=self.film,
+                num_groups=self.num_groups,
+                dropout=self.dropout,
+                deterministic=not train,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=name,
+            )
+
+        emb = TimeEmbedding(
+            self.pos_dim, self.emb_dim, self.dtype, self.param_dtype, name="time_embed"
+        )(t)
+
+        x = x.astype(self.dtype)
+        h = conv3x3(
+            self.channels_per_depth[0], 1, self.dtype, self.param_dtype, name="input_conv"
+        )(x)
+
+        skips = [h]
+        for i, spec in enumerate(down_specs):
+            if spec.kind == "res":
+                h = res(spec, f"down_{i}")(h, emb)
+            else:
+                h = Downsample(spec.c_out, self.dtype, self.param_dtype, name=f"down_{i}")(h)
+            skips.append(h)
+
+        for i, spec in enumerate(middle_specs):
+            h = res(spec, f"middle_{i}")(h, emb)
+
+        for i, spec in enumerate(up_specs):
+            if spec.kind == "res":
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = res(spec, f"up_{i}")(h, emb)
+            else:
+                h = Upsample(spec.c_out, self.dtype, self.param_dtype, name=f"up_{i}")(h)
+        assert not skips, "unconsumed skip connections — topology mismatch"
+
+        out_ch = self.out_channels or self.in_channels
+        h = group_norm(self.num_groups, name="out_norm")(h).astype(self.dtype)
+        h = nn.silu(h)
+        h = conv3x3(out_ch, 1, self.dtype, self.param_dtype, name="output_conv")(h)
+        return h
