@@ -1,0 +1,24 @@
+"""Diffusion algorithms (reference: src/dmme/diffusion_models/__init__.py).
+
+Immutable schedule pytrees + pure jittable train/sample functions. Guidance
+ships working (the reference's is WIP/broken — SURVEY.md §2 #15).
+"""
+
+from dmme_tpu.diffusion.ddpm import DDPM
+from dmme_tpu.diffusion.ddim import DDIM
+from dmme_tpu.diffusion.iddpm import IDDPM, NoiseVariance
+from dmme_tpu.diffusion.guidance import (
+    ClassifierGuidedDDPM,
+    ClassifierGuidedDDIM,
+    classifier_grad,
+)
+
+__all__ = [
+    "DDPM",
+    "DDIM",
+    "IDDPM",
+    "NoiseVariance",
+    "ClassifierGuidedDDPM",
+    "ClassifierGuidedDDIM",
+    "classifier_grad",
+]

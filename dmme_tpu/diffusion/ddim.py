@@ -1,0 +1,141 @@
+"""DDIM sampler — strided deterministic sampling over a trained DDPM.
+
+TPU-native counterpart of reference src/dmme/diffusion_models/ddim.py.
+Training is identical to DDPM (inherited); sampling walks a τ sub-sequence
+of length S ≪ T in one ``lax.scan``.
+
+Two update rules (SURVEY.md §2, deviation 1):
+
+* ``variant="canonical"`` (default) — the paper's Eq. 12 with the
+  √(1−ᾱ_{τ_{i−1}})·ε direction term, η-parameterized.
+* ``variant="reference"`` — bug-compatible with the reference, which divides
+  x̂_0 by √ᾱ_{τ_{i−1}} and drops the direction term.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+import dmme_tpu.equations as eq
+from dmme_tpu.diffusion.ddpm import DDPM, ModelFn, _bcast
+
+
+@struct.dataclass
+class DDIM(DDPM):
+    """Denoising Diffusion Implicit Model (Song et al. 2021)."""
+
+    tau: jax.Array = None  # (S+1,) int32, tau[0] == 0
+    sub_timesteps: int = struct.field(pytree_node=False, default=50)
+    eta: float = struct.field(pytree_node=False, default=0.0)
+    variant: str = struct.field(pytree_node=False, default="canonical")
+
+    @classmethod
+    def create(
+        cls,
+        timesteps: int = 1000,
+        sub_timesteps: int = 50,
+        tau_schedule: str = "quadratic",
+        start: float = 0.0001,
+        end: float = 0.02,
+        eta: float = 0.0,
+        variant: str = "canonical",
+    ) -> "DDIM":
+        beta = eq.ddpm.linear_schedule(timesteps, start, end)
+        tau_schedule = tau_schedule.lower()
+        if tau_schedule == "linear":
+            tau = eq.ddim.linear_tau(timesteps, sub_timesteps)
+        elif tau_schedule == "quadratic":
+            tau = eq.ddim.quadratic_tau(timesteps, sub_timesteps)
+        else:
+            raise NotImplementedError(f"unknown tau schedule: {tau_schedule}")
+        return cls(
+            schedule=eq.ddpm.schedule_from_beta(beta),
+            timesteps=timesteps,
+            tau=tau,
+            sub_timesteps=sub_timesteps,
+            eta=eta,
+            variant=variant,
+        )
+
+    def sampling_step(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        x_tau_i: jax.Array,
+        i: jax.Array,
+        rng: jax.Array,
+    ) -> jax.Array:
+        """One strided step x_{τ_i} → x_{τ_{i−1}}.
+
+        ``i`` indexes the τ table (reference: src/dmme/diffusion_models/
+        ddim.py:55-77). With η = 0 the step is deterministic and ``rng`` is
+        unused (kept for signature uniformity with DDPM).
+        """
+        i = jnp.broadcast_to(jnp.asarray(i, jnp.int32), (x_tau_i.shape[0],))
+        tau_i = self.tau[i]
+        tau_prev = self.tau[i - 1]
+        ab_t = _bcast(self.schedule.alpha_bar[tau_i], x_tau_i.ndim)
+        ab_prev = _bcast(self.schedule.alpha_bar[tau_prev], x_tau_i.ndim)
+
+        eps_hat = model_fn(params, x_tau_i, tau_i).astype(x_tau_i.dtype)
+        if self.variant == "reference":
+            p = eq.ddim.reverse_process(x_tau_i, ab_t, ab_prev, eps_hat)
+            return p.mean
+        p = eq.ddim.reverse_process_canonical(x_tau_i, ab_t, ab_prev, eps_hat, self.eta)
+        if self.eta == 0.0:
+            return p.mean
+        x_prev = p.sample(rng)
+        return jnp.where(_bcast(i, x_tau_i.ndim) == 1, p.mean, x_prev)
+
+    def generate(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        rng: jax.Array,
+        img_shape: Tuple[int, ...],
+        *,
+        history_length: Optional[int] = None,
+    ):
+        """S-step strided reverse process as one ``lax.scan``
+        (reference loop: src/dmme/diffusion_models/ddim.py:79-99)."""
+        x_key, scan_key = jax.random.split(rng)
+        x = jax.random.normal(x_key, img_shape, jnp.float32)
+        iis = jnp.arange(self.sub_timesteps, 0, -1, dtype=jnp.int32)
+
+        capture = None
+        if history_length is not None:
+            idx = (
+                jnp.linspace(0, self.sub_timesteps - 1, history_length)
+                .round()
+                .astype(jnp.int32)
+            )
+            want = jnp.zeros((self.sub_timesteps,), jnp.bool_).at[idx].set(True)
+            slot = jnp.cumsum(want) - 1
+            capture = (want, slot)
+            history0 = jnp.zeros((history_length,) + tuple(img_shape), jnp.float32)
+
+        def body(carry, i):
+            if capture is None:
+                x = carry
+            else:
+                x, hist = carry
+            x = self.sampling_step(model_fn, params, x, i, jax.random.fold_in(scan_key, i))
+            if capture is None:
+                return x, None
+            want, slot = capture
+            k = self.sub_timesteps - i
+            frame = jnp.where(want[k], x, hist[slot[k]])
+            hist = jax.lax.dynamic_update_slice(
+                hist, frame[None], (slot[k],) + (0,) * x.ndim
+            )
+            return (x, hist), None
+
+        if capture is None:
+            x0, _ = jax.lax.scan(body, x, iis)
+            return x0
+        (x0, history), _ = jax.lax.scan(body, (x, history0), iis)
+        return x0, history

@@ -1,0 +1,136 @@
+"""Improved DDPM — cosine schedule, learned variance, hybrid loss.
+
+TPU-native counterpart of reference src/dmme/diffusion_models/iddpm.py.
+The model emits 2·C channels; the first half is ε_θ, the second half the
+variance-interpolation coefficient v. The hybrid objective is
+L = L_simple + γ·L_vlb with stop-gradient on ε inside L_vlb
+(``jax.lax.stop_gradient`` replacing the reference's ``.clone().detach()``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+import dmme_tpu.equations as eq
+from dmme_tpu.diffusion.ddpm import DDPM, ModelFn, _bcast
+
+
+class NoiseVariance(NamedTuple):
+    noise: jax.Array
+    variance: jax.Array
+
+
+@struct.dataclass
+class IDDPM(DDPM):
+    """Improved DDPM (Nichol & Dhariwal 2021)."""
+
+    loss_type: str = struct.field(pytree_node=False, default="hybrid")
+    gamma: float = struct.field(pytree_node=False, default=0.001)
+
+    @classmethod
+    def create(
+        cls,
+        timesteps: int = 1000,
+        loss_type: str = "hybrid",
+        gamma: float = 0.001,
+        schedule: str = "cosine",
+        offset: float = 0.008,
+        start: float = 0.0001,
+        end: float = 0.02,
+    ) -> "IDDPM":
+        if schedule == "cosine":
+            sched = eq.iddpm.cosine_beta_schedule(timesteps, offset)
+        elif schedule == "linear":
+            sched = eq.ddpm.schedule_from_beta(eq.ddpm.linear_schedule(timesteps, start, end))
+        else:
+            raise NotImplementedError(f"unknown schedule: {schedule}")
+        if loss_type not in ("hybrid", "simple", "vlb"):
+            raise ValueError(f"unknown loss_type: {loss_type}")
+        return cls(schedule=sched, timesteps=timesteps, loss_type=loss_type, gamma=gamma)
+
+    # ------------------------------------------------------------------ model
+    def forward_model(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        x_t: jax.Array,
+        t: jax.Array,
+        beta_t: jax.Array,
+        alpha_bar_t: jax.Array,
+        alpha_bar_t_minus_one: jax.Array,
+        **model_kwargs,
+    ) -> NoiseVariance:
+        """Split the network output into (ε, v) and interpolate the variance
+        between β_t and β̃_t (reference: src/dmme/diffusion_models/
+        iddpm.py:150-164). Channels are last in NHWC, so the split is on
+        axis −1 (the reference chunks torch dim 1 in NCHW)."""
+        out = model_fn(params, x_t, t, **model_kwargs).astype(x_t.dtype)
+        eps_hat, v = jnp.split(out, 2, axis=-1)
+        bt = eq.iddpm.beta_tilde(beta_t, alpha_bar_t, alpha_bar_t_minus_one)
+        variance = eq.iddpm.interpolate_variance(v, beta_t, bt)
+        return NoiseVariance(eps_hat, variance)
+
+    # ------------------------------------------------------------------ train
+    def loss(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        rng: jax.Array,
+        x_0: jax.Array,
+        *,
+        train: bool = True,
+    ) -> jax.Array:
+        """Hybrid / simple / vlb objective
+        (reference training_step: src/dmme/diffusion_models/iddpm.py:62-116)."""
+        t_key, n_key, d_key = jax.random.split(rng, 3)
+        n = x_0.shape[0]
+        t = self.sample_timesteps(t_key, n)
+
+        beta_t = _bcast(self.schedule.beta[t], x_0.ndim)
+        alpha_t = _bcast(self.schedule.alpha[t], x_0.ndim)
+        ab_t = _bcast(self.schedule.alpha_bar[t], x_0.ndim)
+        ab_prev = _bcast(self.schedule.alpha_bar[t - 1], x_0.ndim)
+
+        noise = jax.random.normal(n_key, x_0.shape, x_0.dtype)
+        x_t = eq.ddpm.q_sample(x_0, ab_t, noise)
+
+        out = self.forward_model(
+            model_fn, params, x_t, t, beta_t, ab_t, ab_prev,
+            train=train, rngs={"dropout": d_key},
+        )
+
+        if self.loss_type == "simple":
+            return eq.ddpm.simple_loss(noise, out.noise)
+
+        vlb = eq.iddpm.loss_vlb(
+            out.noise, out.variance, x_t, t, x_0, beta_t, alpha_t, ab_t, ab_prev
+        )
+        if self.loss_type == "vlb":
+            return vlb
+        return eq.ddpm.simple_loss(noise, out.noise) + self.gamma * vlb
+
+    # ----------------------------------------------------------------- sample
+    def sampling_step(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        x_t: jax.Array,
+        t: jax.Array,
+        rng: jax.Array,
+    ) -> jax.Array:
+        """One ancestral step with the learned variance
+        (reference: src/dmme/diffusion_models/iddpm.py:118-148)."""
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.int32), (x_t.shape[0],))
+        beta_t = _bcast(self.schedule.beta[t], x_t.ndim)
+        alpha_t = _bcast(self.schedule.alpha[t], x_t.ndim)
+        ab_t = _bcast(self.schedule.alpha_bar[t], x_t.ndim)
+        ab_prev = _bcast(self.schedule.alpha_bar[t - 1], x_t.ndim)
+
+        out = self.forward_model(model_fn, params, x_t, t, beta_t, ab_t, ab_prev)
+        p = eq.ddpm.reverse_process(x_t, beta_t, alpha_t, ab_t, out.noise, out.variance)
+        x_prev = p.sample(rng)
+        return jnp.where(_bcast(t, x_t.ndim) == 1, p.mean, x_prev)

@@ -111,6 +111,11 @@ def loss_vlb(
 
     ``t`` has shape ``(N,)``; per-sample constants are shaped ``(N,1,1,1)``.
     """
+    # An unlucky variance head can drive exp(v·logβ + (1−v)·logβ̃) below the
+    # float32 denormal range. sqrt(0) has an infinite derivative, so a NaN
+    # (0·inf) would poison the backward pass even through a later clamp —
+    # the floor must be applied to the variance BEFORE the sqrt.
+    variance = jnp.maximum(variance, 1e-20)
     p = eq_ddpm.reverse_process(
         x_t,
         beta_t,

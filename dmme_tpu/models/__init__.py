@@ -11,4 +11,15 @@ from dmme_tpu.models import iddpm
 from dmme_tpu.models.unet import UNet, build_topology
 from dmme_tpu.models import blocks
 
-__all__ = ["ddpm", "iddpm", "UNet", "build_topology", "blocks"]
+
+def as_model_fn(module):
+    """Adapt a linen module to the diffusion layer's denoiser contract:
+    ``model_fn(params, x, t, *, train=False, rngs=None)``."""
+
+    def model_fn(params, x, t, *, train=False, rngs=None):
+        return module.apply(params, x, t, train=train, rngs=rngs)
+
+    return model_fn
+
+
+__all__ = ["ddpm", "iddpm", "UNet", "build_topology", "blocks", "as_model_fn"]
