@@ -1,0 +1,104 @@
+"""CIFAR-10 data module (reference: src/dmme/data_modules/cifar10.py).
+
+Reads the standard on-disk formats directly (no torchvision):
+
+* python version — ``cifar-10-batches-py/data_batch_{1..5}`` pickle dicts
+  with (N, 3072) uint8 rows in R|G|B channel-plane order;
+* binary version — ``cifar-10-binary/.../data_batch_{1..5}.bin`` records of
+  1 label byte + 3072 image bytes.
+
+The reference downloads in ``prepare_data``; this environment has no network
+egress, so the dataset must already be under ``data_dir``. For smoke tests
+and throughput benches, ``synthetic=True`` fabricates a deterministic
+uint8 dataset with the right shapes.
+
+Augmentation: random horizontal flip (the reference's default aug), executed
+on-device inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import jax
+import numpy as np
+
+from dmme_tpu.data.data_module import DataModule, random_horizontal_flip
+
+_TRAIN_PICKLES = [f"data_batch_{i}" for i in range(1, 6)]
+_TRAIN_BINS = [f"data_batch_{i}.bin" for i in range(1, 6)]
+
+
+def _from_planes(flat: np.ndarray) -> np.ndarray:
+    """(N, 3072) channel-plane rows → (N, 32, 32, 3) NHWC uint8."""
+    return flat.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+
+
+class CIFAR10(DataModule):
+    def __init__(
+        self,
+        data_dir: str = ".",
+        batch_size: int = 128,
+        horizontal_flip: bool = True,
+        synthetic: bool = False,
+        synthetic_size: int = 50_000,
+    ):
+        super().__init__(batch_size)
+        self.data_dir = data_dir
+        self.horizontal_flip = horizontal_flip
+        self.synthetic = synthetic
+        self.synthetic_size = synthetic_size
+
+    # ----------------------------------------------------------------- loading
+    def _load(self) -> np.ndarray:
+        if self.synthetic:
+            rng = np.random.default_rng(0)
+            return rng.integers(
+                0, 256, (self.synthetic_size, 32, 32, 3), dtype=np.uint8
+            )
+
+        py_dir = os.path.join(self.data_dir, "cifar-10-batches-py")
+        if os.path.isdir(py_dir):
+            parts = []
+            for name in _TRAIN_PICKLES:
+                with open(os.path.join(py_dir, name), "rb") as f:
+                    d = pickle.load(f, encoding="bytes")
+                parts.append(_from_planes(np.asarray(d[b"data"], np.uint8)))
+            return np.concatenate(parts, axis=0)
+
+        for bin_dir in (
+            os.path.join(self.data_dir, "cifar-10-batches-bin"),
+            os.path.join(self.data_dir, "cifar-10-binary", "cifar-10-batches-bin"),
+        ):
+            if os.path.isdir(bin_dir):
+                parts = []
+                for name in _TRAIN_BINS:
+                    raw = np.fromfile(os.path.join(bin_dir, name), np.uint8)
+                    rec = raw.reshape(-1, 3073)[:, 1:]  # drop label byte
+                    parts.append(_from_planes(rec))
+                return np.concatenate(parts, axis=0)
+
+        raise FileNotFoundError(
+            f"CIFAR-10 not found under {self.data_dir!r} "
+            "(expected cifar-10-batches-py/ or cifar-10-batches-bin/). "
+            "This environment has no network egress; place the dataset on "
+            "disk or pass synthetic=True for smoke/bench runs."
+        )
+
+    def setup_train(self) -> None:
+        if self.train_data is None:
+            self.train_data = self._load()
+
+    def setup_test(self) -> None:
+        # Reference parity: test stage reuses the train set without augs
+        # (src/dmme/data_modules/data_module.py:38-39).
+        self.setup_train()
+        self.test_data = self.train_data
+
+    # ------------------------------------------------------------ device math
+    def augment(self, rng: jax.Array, batch: jax.Array) -> jax.Array:
+        if not self.horizontal_flip:
+            return batch
+        return random_horizontal_flip(rng, batch)

@@ -1,0 +1,93 @@
+"""Device mesh and sharding layout helpers.
+
+The reference has no parallelism of its own (SURVEY.md §2 — DP was delegated
+to Lightning and pinned to one GPU). Here data/model parallelism is a
+first-class component, built the TPU way: pick a mesh, annotate shardings
+with ``NamedSharding``, let XLA insert the collectives over ICI.
+
+Mesh axes:
+
+* ``data``  — pure data parallelism; gradients all-reduce over ICI.
+* ``fsdp``  — optional parameter/optimizer sharding (ZeRO-style): each leaf
+  is split along its largest divisible axis; XLA turns the paired
+  all-gather (params) / reduce-scatter (grads) into bandwidth-optimal
+  collectives. The batch is sharded over BOTH axes so every chip computes.
+
+Multi-host: call :func:`jax.distributed.initialize` first; these helpers use
+the global device list, so DCN crossing stays on the outermost (``data``)
+axis where collective volume is smallest.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: int = -1,
+    fsdp: int = 1,
+) -> Mesh:
+    """Build a ``(data, fsdp)`` mesh. ``data=-1`` absorbs remaining devices.
+
+    The fsdp axis is innermost so its (per-step, per-layer) all-gathers ride
+    the fastest ICI links; the data axis' single gradient all-reduce tolerates
+    the slower outer links / DCN.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % fsdp == 0, (n, fsdp)
+        data = n // fsdp
+    assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
+    arr = np.asarray(devices).reshape(data, fsdp)
+    return Mesh(arr, ("data", "fsdp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over every mesh axis."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def fsdp_param_spec(shape: Sequence[int], mesh: Mesh, min_weight_size: int = 2**14) -> P:
+    """Partition spec for one parameter: shard the largest axis divisible by
+    the fsdp axis size; small leaves stay replicated (their all-gather would
+    cost more than it saves)."""
+    fsdp_size = mesh.shape["fsdp"]
+    if fsdp_size == 1 or int(np.prod(shape)) < min_weight_size:
+        return P()
+    # prefer the last (lane) axis, then the largest
+    order = sorted(range(len(shape)), key=lambda i: (shape[i], i), reverse=True)
+    for i in order:
+        if shape[i] % fsdp_size == 0:
+            spec = [None] * len(shape)
+            spec[i] = "fsdp"
+            return P(*spec)
+    return P()
+
+
+def params_sharding(params: Any, mesh: Mesh, min_weight_size: int = 2**14) -> Any:
+    """A pytree of NamedShardings for a parameter tree (fsdp-aware)."""
+    return jax.tree.map(
+        lambda p: NamedSharding(mesh, fsdp_param_spec(p.shape, mesh, min_weight_size)),
+        params,
+    )
+
+
+def state_sharding(state: Any, mesh: Mesh, min_weight_size: int = 2**14) -> Any:
+    """Shardings for a full TrainState: params/ema/opt_state leaves follow the
+    fsdp layout (optimizer moments have parameter shapes); scalars replicate."""
+
+    def leaf_sharding(x) -> NamedSharding:
+        shape = getattr(x, "shape", ())
+        return NamedSharding(mesh, fsdp_param_spec(shape, mesh, min_weight_size))
+
+    return jax.tree.map(leaf_sharding, state)

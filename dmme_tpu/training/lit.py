@@ -1,0 +1,171 @@
+"""High-level training modules: LitDDPM / LitDDIM / LitIDDPM.
+
+API mirror of the reference's Lightning modules
+(src/dmme/lit_modules/{ddpm,ddim,iddpm}.py) — same constructor surface
+(lr, warmup, decay, timesteps, …), same division of labor (optimization,
+logging, metrics only — the algorithm lives in ``dmme_tpu.diffusion``) —
+but realized as a thin, stateless harness over pure functions:
+
+* optimizer = optax chain (global-norm clip 1.0 + Adam + per-step warmup),
+  the reference's exact recipe (lit_modules/ddpm.py:127-135 + configs);
+* EMA folds into the train step (state.ema_params), replacing the callback;
+* ``loss_fn`` composes on-device augmentation → normalization → diffusion
+  loss into one jittable function over raw uint8 batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dmme_tpu import models as model_lib
+from dmme_tpu.diffusion import DDIM, DDPM, IDDPM
+from dmme_tpu.training.lr_schedule import warmup_schedule
+from dmme_tpu.training.state import TrainState
+
+
+class LitDDPM:
+    """DDPM training harness (reference: src/dmme/lit_modules/ddpm.py:21-141)."""
+
+    def __init__(
+        self,
+        lr: float = 2e-4,
+        warmup: int = 5000,
+        decay: float = 0.9999,
+        diffusion_model: Optional[DDPM] = None,
+        model: Any = None,
+        timesteps: int = 1000,
+        grad_clip: float = 1.0,
+        img_channels: int = 3,
+        dtype: Any = jnp.float32,
+    ) -> None:
+        self.lr = lr
+        self.warmup = warmup
+        self.decay = decay
+        self.grad_clip = grad_clip
+        self.img_channels = img_channels
+
+        if model is None:
+            model = model_lib.ddpm.UNet(in_channels=img_channels, dtype=dtype)
+        self.model = model
+        self.model_fn = model_lib.as_model_fn(model)
+
+        if diffusion_model is None:
+            diffusion_model = DDPM.create(timesteps)
+        self.diffusion_model = diffusion_model
+
+    # ------------------------------------------------------------- optimizer
+    def make_optimizer(self) -> optax.GradientTransformation:
+        """Adam + warmup + global-norm clip 1.0 (reference recipe:
+        configs/ddpm/cifar10.yaml gradient_clip_val + lit_modules/ddpm.py:127-135)."""
+        return optax.chain(
+            optax.clip_by_global_norm(self.grad_clip),
+            optax.adam(warmup_schedule(self.lr, self.warmup)),
+        )
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, rng: jax.Array, img_size: int = 32) -> TrainState:
+        x = jnp.zeros((1, img_size, img_size, self.img_channels), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        params = self.model.init(rng, x, t)
+        return TrainState.create(params, self.make_optimizer(), ema_decay=self.decay)
+
+    # ------------------------------------------------------------------- loss
+    def make_loss_fn(self, datamodule=None):
+        """Loss over raw (uint8) batches: on-device augment → normalize →
+        diffusion loss, all inside one jitted program."""
+
+        def loss_fn(params, rng, batch):
+            if datamodule is not None:
+                aug_rng, rng = jax.random.split(rng)
+                batch = datamodule.train_transform(aug_rng, batch)
+            return self.diffusion_model.loss(self.model_fn, params, rng, batch, train=True)
+
+        return loss_fn
+
+    # -------------------------------------------------------------- inference
+    def __call__(self, params, x_t: jax.Array, t, rng: jax.Array) -> jax.Array:
+        """One denoising step (reference LitDDPM.forward, :65-79).
+
+        ``t`` may be a python int (broadcast over the batch) or an int array.
+        """
+        return self.diffusion_model.sampling_step(self.model_fn, params, x_t, t, rng)
+
+    def generate(
+        self,
+        state: TrainState,
+        rng: jax.Array,
+        img_shape: Tuple[int, ...],
+        *,
+        use_ema: bool = True,
+        history_length: Optional[int] = None,
+    ):
+        """Sample with the EMA weights (the reference swaps to EMA for eval —
+        callbacks/ema.py:72-94; here EMA params are read directly)."""
+        params = state.ema_params if use_ema else state.params
+        return self.diffusion_model.generate(
+            self.model_fn, params, rng, img_shape, history_length=history_length
+        )
+
+
+class LitDDIM(LitDDPM):
+    """DDIM harness (reference: src/dmme/lit_modules/ddim.py:11-45) —
+    constructor-only subclass swapping in the strided sampler."""
+
+    def __init__(
+        self,
+        lr: float = 2e-4,
+        warmup: int = 5000,
+        decay: float = 0.9999,
+        diffusion_model: Optional[DDIM] = None,
+        model: Any = None,
+        timesteps: int = 1000,
+        sample_steps: int = 50,
+        tau_schedule: str = "quadratic",
+        variant: str = "canonical",
+        **kwargs,
+    ):
+        if diffusion_model is None:
+            diffusion_model = DDIM.create(
+                timesteps, sample_steps, tau_schedule, variant=variant
+            )
+        super().__init__(
+            lr, warmup, decay, diffusion_model, model, timesteps, **kwargs
+        )
+
+
+class LitIDDPM(LitDDPM):
+    """IDDPM harness (reference: src/dmme/lit_modules/iddpm.py:12-54) —
+    variance-learning UNet + hybrid loss."""
+
+    def __init__(
+        self,
+        lr: float = 1e-4,
+        warmup: int = 5000,
+        decay: float = 0.9999,
+        diffusion_model: Optional[IDDPM] = None,
+        model: Any = None,
+        timesteps: int = 1000,
+        loss_type: str = "hybrid",
+        gamma: float = 0.001,
+        schedule: str = "cosine",
+        offset: float = 0.008,
+        start: float = 0.0001,
+        end: float = 0.02,
+        img_channels: int = 3,
+        dtype: Any = jnp.float32,
+        **kwargs,
+    ):
+        if model is None:
+            model = model_lib.iddpm.UNet(in_channels=img_channels, dtype=dtype)
+        if diffusion_model is None:
+            diffusion_model = IDDPM.create(
+                timesteps, loss_type, gamma, schedule, offset, start, end
+            )
+        super().__init__(
+            lr, warmup, decay, diffusion_model, model, timesteps,
+            img_channels=img_channels, dtype=dtype, **kwargs,
+        )

@@ -1,0 +1,134 @@
+"""fit/test loops — the Trainer analogue.
+
+Replaces pl.Trainer's role for this framework (reference call stack:
+SURVEY.md §3.1). One donated, jitted train step; async dispatch (the host
+loop stays ahead of the device); metrics fetched only at log boundaries;
+Orbax checkpoints at the reference cadence (save_last + every N steps).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from dmme_tpu.parallel import make_train_step, shard_batch, shard_state
+from dmme_tpu.training.checkpoint import CheckpointManager
+from dmme_tpu.training.metrics import MetricLogger
+from dmme_tpu.training.state import TrainState
+
+
+def fit(
+    lit,
+    datamodule,
+    max_steps: int,
+    *,
+    seed: int = 1337,
+    mesh=None,
+    log_every: int = 50,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 100_000,
+    callbacks: Sequence[Any] = (),
+    state: Optional[TrainState] = None,
+    resume: bool = False,
+    accumulate_grad_batches: int = 1,
+) -> TrainState:
+    """Train ``lit`` on ``datamodule`` for ``max_steps`` optimizer steps.
+
+    Defaults mirror the reference recipe: seed 1337 (src/dmme/trainer.py:9),
+    log every 50 steps, checkpoint every 100k + last
+    (configs/ddpm/cifar10.yaml:11-14,49).
+    """
+    datamodule.prepare_data()
+    datamodule.setup("fit")
+
+    rng = jax.random.PRNGKey(seed)
+    init_rng, run_rng = jax.random.split(rng)
+
+    if state is None:
+        img_size = datamodule.train_data.shape[1]
+        state = lit.init_state(init_rng, img_size=img_size)
+
+    ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+    if resume and ckpt is not None and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+
+    if mesh is not None:
+        state = shard_state(state, mesh)
+
+    loss_fn = lit.make_loss_fn(datamodule)
+    if accumulate_grad_batches > 1:
+        loss_fn = _microbatched(loss_fn, accumulate_grad_batches)
+    train_step = make_train_step(loss_fn)
+
+    logger = MetricLogger(ckpt_dir)
+    for cb in callbacks:
+        _call(cb, "on_fit_start", lit=lit, state=state)
+
+    start_step = int(jax.device_get(state.step))
+    pending = None  # (step, metrics) fetched lazily
+    t_last = time.time()
+    imgs_since = 0
+
+    it = datamodule.train_iter(seed)
+    for step in range(start_step, max_steps):
+        batch = next(it)
+        if accumulate_grad_batches > 1:
+            micro = [next(it) for _ in range(accumulate_grad_batches - 1)]
+            batch = np.stack([batch] + micro)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        state, metrics = train_step(state, batch, run_rng)
+        imgs_since += int(np.prod(batch.shape[:-3]))
+        pending = (step, metrics)
+
+        if (step + 1) % log_every == 0:
+            s, m = pending
+            m = jax.device_get(m)  # blocks; amortized over log_every steps
+            now = time.time()
+            m["imgs_per_sec"] = imgs_since / max(now - t_last, 1e-9)
+            t_last, imgs_since = now, 0
+            logger.log(s + 1, m)
+            for cb in callbacks:
+                _call(cb, "on_log", step=s + 1, lit=lit, state=state, metrics=m)
+
+        if ckpt is not None and (step + 1) % ckpt_every == 0:
+            ckpt.save(step + 1, state)
+
+        for cb in callbacks:
+            _call(cb, "on_train_step_end", step=step + 1, lit=lit, state=state)
+
+    if ckpt is not None:
+        if ckpt.latest_step() != max_steps:
+            ckpt.save(max_steps, state, force=True)  # save_last parity
+        ckpt.wait()
+    for cb in callbacks:
+        _call(cb, "on_fit_end", lit=lit, state=state)
+    logger.close()
+    return state
+
+
+def _microbatched(loss_fn, k: int):
+    """Gradient accumulation: mean loss over k stacked microbatches via scan
+    (reference: LSUN configs accumulate_grad_batches=32)."""
+    import jax.numpy as jnp
+
+    def accum(params, rng, stacked):
+        keys = jax.random.split(rng, k)
+
+        def body(carry, inp):
+            key, mb = inp
+            return carry + loss_fn(params, key, mb), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), (keys, stacked))
+        return total / k
+
+    return accum
+
+
+def _call(cb, hook: str, **kwargs) -> None:
+    fn = getattr(cb, hook, None)
+    if fn is not None:
+        fn(**kwargs)
