@@ -1,0 +1,108 @@
+"""Benchmark: CIFAR-10 DDPM training imgs/sec/chip + DDIM 50-step sampling.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Method: K train steps are chained in one jitted scan (weights pinned in HBM,
+zero host round-trips inside a chunk — exactly how the fit loop runs), timed
+over several chunks after warmup, synced by fetching the final loss.
+
+Baseline: the reference publishes no numbers (BASELINE.md). The comparison
+value is the reference recipe's throughput class on its era hardware —
+DDPM CIFAR-10, batch 128, fp16 AMP, 32.4M-param UNet on a single modern GPU
+runs ~1.5-2 it/s ≈ 220 imgs/sec/chip. BASELINE.json targets ≥3× on TPU.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmme_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from dmme_tpu.data import CIFAR10
+from dmme_tpu.diffusion import DDIM
+from dmme_tpu.models import as_model_fn
+from dmme_tpu.parallel import make_train_chunk
+from dmme_tpu.training import LitDDPM
+
+BASELINE_IMGS_PER_SEC = 220.0  # see module docstring
+
+BATCH = 128
+CHUNK = 10          # train steps fused per device call
+CHUNKS_TIMED = 4
+SAMPLE_BATCH = 128
+SAMPLE_REPEATS = 2
+
+
+def main():
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+
+    # bf16 compute / f32 params (the reference trains fp16 AMP).
+    lit = LitDDPM(dtype=jnp.bfloat16)
+    dm = CIFAR10(synthetic=True, synthetic_size=BATCH * CHUNK, batch_size=BATCH)
+    dm.setup("fit")
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    state = lit.init_state(rng, img_size=32)
+    chunk_fn = make_train_chunk(lit.make_loss_fn(dm), CHUNK)
+
+    it = dm.train_iter(0)
+    stacked = jnp.asarray(np.stack([next(it) for _ in range(CHUNK)]))
+
+    # compile + warmup (one chunk)
+    state, metrics = chunk_fn(state, stacked, rng)
+    first_loss = float(jax.device_get(metrics["loss"])[-1])
+    print(f"# compile+warmup {time.perf_counter()-t0:.1f}s loss={first_loss:.4f}",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(CHUNKS_TIMED):
+        state, metrics = chunk_fn(state, stacked, rng)
+    last_loss = float(jax.device_get(metrics["loss"])[-1])  # full pipeline drain
+    dt = time.perf_counter() - t0
+    train_ips = BATCH * CHUNK * CHUNKS_TIMED / dt
+
+    # ---- DDIM 50-step sampler (quadratic tau over T=1000, eta=0) ----
+    algo = DDIM.create(timesteps=1000, sub_timesteps=50)
+    model_fn = as_model_fn(lit.model)
+    gen = jax.jit(algo.generate, static_argnums=(0, 3))
+    params = state.ema_params
+    out = gen(model_fn, params, jax.random.PRNGKey(1), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))  # sync compile
+    t0 = time.perf_counter()
+    for i in range(SAMPLE_REPEATS):
+        out = gen(model_fn, params, jax.random.PRNGKey(i), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    sample_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train imgs/sec/chip, CIFAR-10 DDPM UNet (batch 128, bf16)",
+                "value": round(train_ips, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(train_ips / BASELINE_IMGS_PER_SEC, 3),
+                "ddim50_sample_imgs_per_sec_chip": round(sample_ips, 2),
+                "train_step_ms": round(1000 * dt / (CHUNK * CHUNKS_TIMED), 2),
+                "final_loss": round(last_loss, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import os
+
+    main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # The axon PJRT client leaves non-daemon threads behind; a lingering
+    # process would hold the single TPU tunnel and block every later jax
+    # process. Hard-exit once the JSON line is out.
+    os._exit(0)

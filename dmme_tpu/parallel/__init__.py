@@ -10,6 +10,7 @@ from dmme_tpu.parallel.mesh import (
 )
 from dmme_tpu.parallel.train_step import (
     make_train_step,
+    make_train_chunk,
     make_eval_step,
     shard_state,
     shard_batch,
@@ -24,6 +25,7 @@ __all__ = [
     "state_sharding",
     "fsdp_param_spec",
     "make_train_step",
+    "make_train_chunk",
     "make_eval_step",
     "shard_state",
     "shard_batch",

@@ -50,6 +50,31 @@ def make_train_step(loss_fn: LossFn, donate: bool = True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_chunk(loss_fn: LossFn, steps: int, donate: bool = True):
+    """Compile ``steps`` chained train steps as ONE program (scan-of-steps).
+
+    ``(state, batches, rng) -> (state, metrics)`` where ``batches`` is the
+    per-step batch stacked on a leading axis of length ``steps`` and
+    ``metrics`` are the per-step loss/grad-norm stacked likewise.
+
+    Why: a Python-loop step costs one dispatch round-trip per step; scanning
+    K steps inside jit amortizes dispatch, keeps params/optimizer state
+    pinned in HBM for the whole chunk, and lets XLA overlap the next step's
+    input DMA with compute. The host only needs to prefetch K batches.
+    """
+
+    def chunk(state: TrainState, batches, rng: jax.Array):
+        def one(state: TrainState, batch):
+            step_rng = jax.random.fold_in(rng, state.step)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, step_rng, batch)
+            new_state = state.apply_gradients(grads)
+            return new_state, {"loss": loss, "grad_norm": global_norm(grads)}
+
+        return jax.lax.scan(one, state, batches)
+
+    return jax.jit(chunk, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(loss_fn: LossFn):
     """Compile ``(params, batch, rng) -> loss`` (no dropout, no updates)."""
 

@@ -70,7 +70,9 @@ class LitDDPM:
     def init_state(self, rng: jax.Array, img_size: int = 32) -> TrainState:
         x = jnp.zeros((1, img_size, img_size, self.img_channels), jnp.float32)
         t = jnp.zeros((1,), jnp.int32)
-        params = self.model.init(rng, x, t)
+        # jit the init: unjitted tracing dispatches hundreds of tiny eager ops
+        # (pathological over a remote-TPU link — ~3 min for the default UNet).
+        params = jax.jit(self.model.init)(rng, x, t)
         return TrainState.create(params, self.make_optimizer(), ema_decay=self.decay)
 
     # ------------------------------------------------------------------- loss
