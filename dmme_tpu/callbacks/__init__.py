@@ -1,0 +1,10 @@
+"""Training callbacks (reference: src/dmme/callbacks/__init__.py).
+
+The reference ships EMA + GenerateImage. EMA is not a callback here — it is
+one fused pytree update inside the train step (see
+``dmme_tpu.training.ema``); GenerateImage remains.
+"""
+
+from dmme_tpu.callbacks.generate import GenerateImage
+
+__all__ = ["GenerateImage"]

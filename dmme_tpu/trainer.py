@@ -1,0 +1,124 @@
+"""CLI entry point — ``dmme_tpu.trainer {fit,test,sample} --config cfg.yaml``.
+
+Mirror of the reference's LightningCLI surface (src/dmme/trainer.py:4-13,
+seed default 1337) over this framework's fit/test loops. Config schema:
+
+.. code-block:: yaml
+
+    seed_everything: 1337
+    trainer:
+      max_steps: 800000
+      log_every_n_steps: 50
+      ckpt_every_n_steps: 100000
+      default_root_dir: runs/ddpm_cifar10
+      accumulate_grad_batches: 1
+      mesh: {data: -1, fsdp: 1}      # null = single device
+      callbacks: [{class_path: ..., init_args: {...}}]
+    model: {class_path: dmme_tpu.training.LitDDPM, init_args: {...}}
+    data:  {class_path: dmme_tpu.data.CIFAR10, init_args: {...}}
+    ckpt_path: null
+
+Dotted overrides: ``dmme_tpu.trainer fit --config c.yaml --model.init_args.lr 1e-4``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Any, Dict, Optional
+
+from dmme_tpu.config import apply_overrides, instantiate, load_config
+
+
+def _build(config: Dict[str, Any]):
+    model = instantiate(config.get("model"))
+    data = instantiate(config.get("data"))
+    trainer_cfg = dict(config.get("trainer") or {})
+    callbacks = instantiate(trainer_cfg.pop("callbacks", []) or [])
+    return model, data, trainer_cfg, callbacks
+
+
+def _make_mesh(mesh_cfg: Optional[Dict[str, int]]):
+    if not mesh_cfg:
+        return None
+    from dmme_tpu.parallel import make_mesh
+
+    return make_mesh(data=mesh_cfg.get("data", -1), fsdp=mesh_cfg.get("fsdp", 1))
+
+
+def cmd_fit(config: Dict[str, Any]) -> None:
+    from dmme_tpu.training import fit
+
+    model, data, tc, callbacks = _build(config)
+    fit(
+        model,
+        data,
+        max_steps=int(tc.get("max_steps", 800_000)),
+        seed=int(config.get("seed_everything", 1337)),
+        mesh=_make_mesh(tc.get("mesh")),
+        log_every=int(tc.get("log_every_n_steps", 50)),
+        ckpt_dir=tc.get("default_root_dir"),
+        ckpt_every=int(tc.get("ckpt_every_n_steps", 100_000)),
+        callbacks=callbacks,
+        resume=config.get("ckpt_path") is not None or bool(tc.get("resume", False)),
+        accumulate_grad_batches=int(tc.get("accumulate_grad_batches") or 1),
+    )
+
+
+def cmd_test(config: Dict[str, Any]) -> None:
+    from dmme_tpu.training.evaluate import test
+
+    model, data, tc, _ = _build(config)
+    results = test(
+        model,
+        data,
+        ckpt_dir=tc.get("default_root_dir"),
+        seed=int(config.get("seed_everything", 1337)),
+        max_batches=tc.get("limit_test_batches"),
+    )
+    print(results)
+
+
+def cmd_sample(config: Dict[str, Any]) -> None:
+    """Generate a grid of samples from the latest checkpoint (extra utility —
+    the reference can only sample through its test loop or callback)."""
+    import jax
+
+    from dmme_tpu.callbacks import GenerateImage
+    from dmme_tpu.training.checkpoint import CheckpointManager
+
+    model, data, tc, _ = _build(config)
+    data.prepare_data()
+    data.setup("fit")
+    img_size = data.train_data.shape[1]
+    state = model.init_state(jax.random.PRNGKey(0), img_size=img_size)
+    ckpt_dir = tc.get("default_root_dir")
+    if ckpt_dir:
+        mgr = CheckpointManager(ckpt_dir)
+        if mgr.latest_step() is not None:
+            state = mgr.restore(state)
+    cb = GenerateImage(
+        imgsize=(model.img_channels, img_size, img_size),
+        out_dir=(ckpt_dir or ".") + "/samples",
+    )
+    path = cb.generate_and_save(int(jax.device_get(state.step)), model, state)
+    print(path)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="dmme_tpu.trainer")
+    parser.add_argument("subcommand", choices=["fit", "test", "sample"])
+    parser.add_argument("--config", required=True)
+    args, overrides = parser.parse_known_args(argv)
+
+    config = apply_overrides(load_config(args.config), overrides)
+
+    from dmme_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    {"fit": cmd_fit, "test": cmd_test, "sample": cmd_sample}[args.subcommand](config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Evaluation loop — FID + Inception Score over generated samples.
+
+Mirror of the reference's test path (src/dmme/lit_modules/ddpm.py:91-125 +
+SURVEY.md §3.3): per test batch, update FID with real images, generate a
+same-shaped batch with the EMA weights, update FID(fake) + IS; at the end
+compute fid and inception_score = exp(kl_mean).
+
+Feature extraction runs through the JAX InceptionV3
+(``dmme_tpu.eval.inception``); pass ``inception_weights`` (a torchvision
+inception_v3 state_dict file) for meaningful absolute values.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dmme_tpu.eval.fid import FrechetInceptionDistance
+from dmme_tpu.eval.inception import make_feature_fn
+from dmme_tpu.training.checkpoint import CheckpointManager
+from dmme_tpu.utils.norm import denorm
+
+
+def test(
+    lit,
+    datamodule,
+    *,
+    ckpt_dir: Optional[str] = None,
+    seed: int = 1337,
+    max_batches: Optional[int] = None,
+    inception_weights: Optional[str] = None,
+    use_ema: bool = True,
+    state=None,
+) -> Dict[str, float]:
+    datamodule.prepare_data()
+    datamodule.setup("test")
+
+    rng = jax.random.PRNGKey(seed)
+    if state is None:
+        img_size = datamodule.test_data.shape[1]
+        state = lit.init_state(rng, img_size=img_size)
+        if ckpt_dir is not None:
+            mgr = CheckpointManager(ckpt_dir)
+            if mgr.latest_step() is not None:
+                state = mgr.restore(state)
+
+    feature_fn = make_feature_fn(inception_weights)
+    from dmme_tpu.eval.inception_score import InceptionScore
+
+    fid = FrechetInceptionDistance()
+    inception = InceptionScore(num_classes=1000)
+
+    params = state.ema_params if use_ema else state.params
+    gen = jax.jit(lit.diffusion_model.generate, static_argnums=(0, 3))
+
+    n_batches = 0
+    for i, batch in enumerate(datamodule.test_iter()):
+        if max_batches is not None and i >= max_batches:
+            break
+        real = jnp.asarray(batch).astype(jnp.float32) / 255.0  # [0,1]
+        feats, _ = feature_fn(real)
+        fid.update(feats, real=True)
+
+        fake = gen(
+            lit.model_fn, params, jax.random.fold_in(rng, i), real.shape
+        )
+        fake = denorm(fake)  # [-1,1] -> [0,1]
+        feats, logits = feature_fn(fake)
+        fid.update(feats, real=False)
+        inception.update(logits)
+        n_batches += 1
+
+    kl_mean, kl_std = inception.compute()
+    results = {
+        "fid": fid.compute(),
+        "inception_score": float(jnp.exp(kl_mean)),
+        "inception_score_std": kl_std,
+        "num_batches": n_batches,
+    }
+    if inception_weights is None:
+        results["warning"] = (
+            "randomly-initialized InceptionV3 (no weights file provided): "
+            "metric values are not comparable to published FID/IS"
+        )
+    return results

@@ -1,0 +1,144 @@
+"""Config-instantiation and CLI tests (reference surface: LightningCLI YAMLs)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from dmme_tpu.config import apply_overrides, instantiate, load_config
+
+
+class TestInstantiate:
+    def test_class_path_tree(self):
+        node = {
+            "class_path": "dmme_tpu.training.LitDDPM",
+            "init_args": {
+                "lr": 1e-3,
+                "model": {
+                    "class_path": "dmme_tpu.models.ddpm.UNet",
+                    "init_args": {
+                        "pos_dim": 4,
+                        "emb_dim": 8,
+                        "num_groups": 2,
+                        "channels_per_depth": [4, 8, 8, 8],
+                        "num_blocks": 1,
+                    },
+                },
+            },
+        }
+        lit = instantiate(node)
+        assert lit.lr == 1e-3
+        assert lit.model.channels_per_depth == (4, 8, 8, 8)
+
+    def test_dtype_string_canonicalized(self):
+        import jax.numpy as jnp
+
+        node = {
+            "class_path": "dmme_tpu.training.LitDDPM",
+            "init_args": {"dtype": "bf16", "timesteps": 10},
+        }
+        lit = instantiate(node)
+        assert lit.model.dtype == jnp.bfloat16
+
+    def test_overrides(self):
+        cfg = {"model": {"init_args": {"lr": 1.0}}}
+        apply_overrides(cfg, ["--model.init_args.lr", "2e-4", "trainer.max_steps=7"])
+        assert cfg["model"]["init_args"]["lr"] == 2e-4
+        assert cfg["trainer"]["max_steps"] == 7
+
+
+class TestShippedConfigs:
+    @pytest.mark.parametrize(
+        "path",
+        [
+            "configs/ddpm/cifar10.yaml",
+            "configs/ddim/cifar10.yaml",
+            "configs/iddpm/cifar10.yaml",
+        ],
+    )
+    def test_configs_instantiate(self, path):
+        cfg = load_config(os.path.join(os.path.dirname(__file__), "..", path))
+        assert cfg["seed_everything"] == 1337
+        model = instantiate(cfg["model"])
+        data = instantiate(cfg["data"])
+        assert model.diffusion_model is not None
+        assert data.batch_size == 128
+
+    def test_reference_hyperparameters_ddpm(self):
+        cfg = load_config(
+            os.path.join(os.path.dirname(__file__), "..", "configs/ddpm/cifar10.yaml")
+        )
+        args = cfg["model"]["init_args"]
+        assert args["lr"] == 2e-4 and args["warmup"] == 5000
+        assert args["decay"] == 0.9999 and args["timesteps"] == 1000
+        assert cfg["trainer"]["max_steps"] == 800_000
+
+    def test_reference_hyperparameters_iddpm(self):
+        cfg = load_config(
+            os.path.join(os.path.dirname(__file__), "..", "configs/iddpm/cifar10.yaml")
+        )
+        args = cfg["model"]["init_args"]
+        assert args["timesteps"] == 4000
+        assert args["start"] == 2.5e-5 and args["end"] == 5e-3
+        assert args["lr"] == 1e-4
+
+
+class TestTrainerCLI:
+    def test_fit_tiny_run(self, tmp_path):
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            textwrap.dedent(
+                f"""
+                seed_everything: 7
+                trainer:
+                  max_steps: 2
+                  log_every_n_steps: 1
+                  ckpt_every_n_steps: 100
+                  default_root_dir: {tmp_path}/run
+                model:
+                  class_path: dmme_tpu.training.LitDDPM
+                  init_args:
+                    warmup: 10
+                    timesteps: 10
+                    model:
+                      class_path: dmme_tpu.models.ddpm.UNet
+                      init_args: {{pos_dim: 4, emb_dim: 8, num_groups: 2,
+                                   channels_per_depth: [4, 8, 8, 8], num_blocks: 1}}
+                data:
+                  class_path: dmme_tpu.data.CIFAR10
+                  init_args: {{synthetic: true, synthetic_size: 16, batch_size: 4}}
+                """
+            )
+        )
+        from dmme_tpu.trainer import main
+
+        main(["fit", "--config", str(cfg)])
+        assert (tmp_path / "run" / "metrics.jsonl").exists()
+
+    def test_sample_subcommand(self, tmp_path):
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            textwrap.dedent(
+                f"""
+                trainer: {{default_root_dir: {tmp_path}/run2}}
+                model:
+                  class_path: dmme_tpu.training.LitDDPM
+                  init_args:
+                    timesteps: 5
+                    model:
+                      class_path: dmme_tpu.models.ddpm.UNet
+                      init_args: {{pos_dim: 4, emb_dim: 8, num_groups: 2,
+                                   channels_per_depth: [4, 8, 8, 8], num_blocks: 1}}
+                data:
+                  class_path: dmme_tpu.data.CIFAR10
+                  init_args: {{synthetic: true, synthetic_size: 8, batch_size: 4}}
+                """
+            )
+        )
+        from dmme_tpu.trainer import main
+
+        main(["sample", "--config", str(cfg)])
+        import glob
+
+        assert glob.glob(str(tmp_path / "run2" / "samples" / "*"))
