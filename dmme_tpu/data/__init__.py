@@ -2,5 +2,6 @@
 
 from dmme_tpu.data.data_module import DataModule, random_horizontal_flip
 from dmme_tpu.data.cifar10 import CIFAR10
+from dmme_tpu.data.imagefolder import ImageFolder64
 
-__all__ = ["DataModule", "CIFAR10", "random_horizontal_flip"]
+__all__ = ["DataModule", "CIFAR10", "ImageFolder64", "random_horizontal_flip"]

@@ -44,41 +44,47 @@ class CIFAR10(DataModule):
         horizontal_flip: bool = True,
         synthetic: bool = False,
         synthetic_size: int = 50_000,
+        with_labels: bool = False,
     ):
         super().__init__(batch_size)
         self.data_dir = data_dir
         self.horizontal_flip = horizontal_flip
         self.synthetic = synthetic
         self.synthetic_size = synthetic_size
+        self.with_labels = with_labels
 
     # ----------------------------------------------------------------- loading
-    def _load(self) -> np.ndarray:
+    def _load(self):
         if self.synthetic:
             rng = np.random.default_rng(0)
-            return rng.integers(
+            images = rng.integers(
                 0, 256, (self.synthetic_size, 32, 32, 3), dtype=np.uint8
             )
+            labels = rng.integers(0, 10, (self.synthetic_size,), dtype=np.int32)
+            return images, labels
 
         py_dir = os.path.join(self.data_dir, "cifar-10-batches-py")
         if os.path.isdir(py_dir):
-            parts = []
+            parts, labels = [], []
             for name in _TRAIN_PICKLES:
                 with open(os.path.join(py_dir, name), "rb") as f:
                     d = pickle.load(f, encoding="bytes")
                 parts.append(_from_planes(np.asarray(d[b"data"], np.uint8)))
-            return np.concatenate(parts, axis=0)
+                labels.append(np.asarray(d[b"labels"], np.int32))
+            return np.concatenate(parts), np.concatenate(labels)
 
         for bin_dir in (
             os.path.join(self.data_dir, "cifar-10-batches-bin"),
             os.path.join(self.data_dir, "cifar-10-binary", "cifar-10-batches-bin"),
         ):
             if os.path.isdir(bin_dir):
-                parts = []
+                parts, labels = [], []
                 for name in _TRAIN_BINS:
                     raw = np.fromfile(os.path.join(bin_dir, name), np.uint8)
-                    rec = raw.reshape(-1, 3073)[:, 1:]  # drop label byte
-                    parts.append(_from_planes(rec))
-                return np.concatenate(parts, axis=0)
+                    rec = raw.reshape(-1, 3073)
+                    labels.append(rec[:, 0].astype(np.int32))
+                    parts.append(_from_planes(rec[:, 1:]))
+                return np.concatenate(parts), np.concatenate(labels)
 
         raise FileNotFoundError(
             f"CIFAR-10 not found under {self.data_dir!r} "
@@ -89,13 +95,16 @@ class CIFAR10(DataModule):
 
     def setup_train(self) -> None:
         if self.train_data is None:
-            self.train_data = self._load()
+            self.train_data, labels = self._load()
+            if self.with_labels:
+                self.train_labels = labels
 
     def setup_test(self) -> None:
         # Reference parity: test stage reuses the train set without augs
         # (src/dmme/data_modules/data_module.py:38-39).
         self.setup_train()
         self.test_data = self.train_data
+        self.test_labels = self.train_labels
 
     # ------------------------------------------------------------ device math
     def augment(self, rng: jax.Array, batch: jax.Array) -> jax.Array:

@@ -36,6 +36,10 @@ class DataModule:
         self.batch_size = batch_size
         self.train_data: Optional[np.ndarray] = None
         self.test_data: Optional[np.ndarray] = None
+        # optional labels (e.g. classifier training); when set, iterators
+        # yield (images, labels) tuples
+        self.train_labels: Optional[np.ndarray] = None
+        self.test_labels: Optional[np.ndarray] = None
 
     # -------------------------------------------------------------- lifecycle
     def prepare_data(self) -> None:
@@ -63,17 +67,26 @@ class DataModule:
         data = self.train_data
         n = data.shape[0]
         rng = np.random.default_rng(seed)
+        labels = self.train_labels
         while True:
             perm = rng.permutation(n)
             for i in range(0, n - self.batch_size + 1, self.batch_size):
-                yield data[perm[i : i + self.batch_size]]
+                idx = perm[i : i + self.batch_size]
+                if labels is None:
+                    yield data[idx]
+                else:
+                    yield data[idx], labels[idx]
 
     def test_iter(self) -> Iterator[np.ndarray]:
         """One sequential pass over the test split (no shuffle, no augs)."""
         assert self.test_data is not None, "call setup('test') first"
         data = self.test_data
+        labels = self.test_labels
         for i in range(0, data.shape[0] - self.batch_size + 1, self.batch_size):
-            yield data[i : i + self.batch_size]
+            if labels is None:
+                yield data[i : i + self.batch_size]
+            else:
+                yield data[i : i + self.batch_size], labels[i : i + self.batch_size]
 
     # ------------------------------------------------------- device-side math
     def process(self, batch: jax.Array) -> jax.Array:

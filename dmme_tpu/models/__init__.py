@@ -8,6 +8,7 @@ implement (tests/test_adm.py).
 
 from dmme_tpu.models import ddpm
 from dmme_tpu.models import iddpm
+from dmme_tpu.models import adm
 from dmme_tpu.models.unet import UNet, build_topology
 from dmme_tpu.models import blocks
 

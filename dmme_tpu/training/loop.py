@@ -81,7 +81,8 @@ def fit(
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = train_step(state, batch, run_rng)
-        imgs_since += int(np.prod(batch.shape[:-3]))
+        lead = jax.tree.leaves(batch)[0]
+        imgs_since += int(np.prod(lead.shape[:-3]))  # (..., H, W, C) leading dims
         pending = (step, metrics)
 
         if (step + 1) % log_every == 0:
