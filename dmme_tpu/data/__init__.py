@@ -3,5 +3,14 @@
 from dmme_tpu.data.data_module import DataModule, random_horizontal_flip
 from dmme_tpu.data.cifar10 import CIFAR10
 from dmme_tpu.data.imagefolder import ImageFolder64
+from dmme_tpu.data.lsun import LSUN
+from dmme_tpu.data.lmdb_reader import LMDBReader
 
-__all__ = ["DataModule", "CIFAR10", "ImageFolder64", "random_horizontal_flip"]
+__all__ = [
+    "DataModule",
+    "CIFAR10",
+    "ImageFolder64",
+    "LSUN",
+    "LMDBReader",
+    "random_horizontal_flip",
+]
