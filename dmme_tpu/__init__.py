@@ -28,6 +28,15 @@ from dmme_tpu.utils import (
 )
 from dmme_tpu import equations
 
+# Top-level API parity with the reference package root
+# (src/dmme/__init__.py:1-25 re-exports lit modules and data modules).
+from dmme_tpu import models
+from dmme_tpu import diffusion
+from dmme_tpu import diffusion as diffusion_models  # reference naming alias
+from dmme_tpu.training import LitDDPM, LitDDIM, LitIDDPM, LitClassifier
+from dmme_tpu.data import CIFAR10, LSUN, ImageFolder64
+from dmme_tpu import datasets
+
 __all__ = [
     "gaussian",
     "gaussian_like",
@@ -37,5 +46,16 @@ __all__ = [
     "denorm",
     "make_history",
     "equations",
+    "models",
+    "diffusion",
+    "diffusion_models",
+    "datasets",
+    "LitDDPM",
+    "LitDDIM",
+    "LitIDDPM",
+    "LitClassifier",
+    "CIFAR10",
+    "LSUN",
+    "ImageFolder64",
     "__version__",
 ]
