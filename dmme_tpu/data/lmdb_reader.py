@@ -183,3 +183,87 @@ class LMDBReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class NativeLMDBReader:
+    """Same API as :class:`LMDBReader`, backed by the C++ walker
+    (``dmme_tpu/native/lmdb_scan.cc``) via ctypes. Iteration returns
+    zero-copy memoryviews into the mmap held by the native env."""
+
+    def __init__(self, path: str):
+        import ctypes
+
+        from dmme_tpu.native import load_lmdb_native
+
+        lib = load_lmdb_native()
+        if lib is None:
+            raise LMDBError("native lmdb backend unavailable")
+        self._lib = lib
+        self._ct = ctypes
+        self._env = lib.lmdb_open(path.encode())
+        if not self._env:
+            raise LMDBError(f"cannot open LMDB at {path}")
+        self.entries = lib.lmdb_entries(self._env)
+
+    def __len__(self) -> int:
+        return self.entries
+
+    def items(self) -> Iterator[Tuple[bytes, memoryview]]:
+        ct = self._ct
+        it = self._lib.lmdb_iter_new(self._env)
+        key_p = ct.POINTER(ct.c_uint8)()
+        val_p = ct.POINTER(ct.c_uint8)()
+        klen = ct.c_uint64()
+        vlen = ct.c_uint64()
+        try:
+            while self._lib.lmdb_iter_next(
+                it, ct.byref(key_p), ct.byref(klen), ct.byref(val_p), ct.byref(vlen)
+            ):
+                key = ct.string_at(key_p, klen.value)
+                val = memoryview(
+                    (ct.c_uint8 * vlen.value).from_address(
+                        ct.addressof(val_p.contents)
+                    )
+                ).cast("B")
+                yield key, val
+        finally:
+            self._lib.lmdb_iter_free(it)
+
+    def keys(self) -> Iterator[bytes]:
+        for k, _ in self.items():
+            yield k
+
+    def get(self, key: bytes) -> Optional[memoryview]:
+        ct = self._ct
+        val_p = ct.POINTER(ct.c_uint8)()
+        vlen = ct.c_uint64()
+        buf = (ct.c_uint8 * len(key)).from_buffer_copy(key)
+        if not self._lib.lmdb_get(
+            self._env, buf, len(key), ct.byref(val_p), ct.byref(vlen)
+        ):
+            return None
+        return memoryview(
+            (ct.c_uint8 * vlen.value).from_address(ct.addressof(val_p.contents))
+        ).cast("B")
+
+    def close(self) -> None:
+        if self._env:
+            self._lib.lmdb_close(self._env)
+            self._env = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_lmdb(path: str, prefer_native: bool = True):
+    """Best-available reader: the C++ backend when g++/ctypes work, else the
+    pure-Python implementation (identical API and semantics)."""
+    if prefer_native:
+        try:
+            return NativeLMDBReader(path)
+        except Exception:
+            pass
+    return LMDBReader(path)

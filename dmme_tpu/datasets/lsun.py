@@ -22,7 +22,7 @@ from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
-from dmme_tpu.data.lmdb_reader import LMDBReader
+from dmme_tpu.data.lmdb_reader import open_lmdb
 
 SCENES = [
     "bedroom",
@@ -74,7 +74,7 @@ class LSUNClass:
     ):
         self.root = root
         self.transform = transform
-        self.reader = LMDBReader(root)
+        self.reader = open_lmdb(root)
 
         cache_name = "_cache_" + "".join(
             c for c in root if c in string.ascii_letters + string.digits

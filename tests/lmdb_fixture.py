@@ -155,5 +155,7 @@ def write_lmdb(path: str, kv: Dict[bytes, bytes], leaf_split: int = 0) -> None:
     pages[1] = _meta_page(1, 2, root, len(items), depth, last_pg)  # live meta
 
     with open(path, "wb") as f:
-        for pg in range(next_pg):
-            f.write(pages.get(pg, b"\x00" * PSIZE))
+        f.truncate(next_pg * PSIZE)
+        for pg, blob in sorted(pages.items()):
+            f.seek(pg * PSIZE)
+            f.write(blob)  # overflow blobs span multiple pages
