@@ -14,7 +14,12 @@ from typing import Any, Iterable, Optional, Sequence
 import jax
 import numpy as np
 
-from dmme_tpu.parallel import make_train_step, shard_batch, shard_state
+from dmme_tpu.parallel import (
+    make_train_chunk,
+    make_train_step,
+    shard_batch,
+    shard_state,
+)
 from dmme_tpu.training.checkpoint import CheckpointManager
 from dmme_tpu.training.metrics import MetricLogger
 from dmme_tpu.training.state import TrainState
@@ -34,12 +39,18 @@ def fit(
     state: Optional[TrainState] = None,
     resume: bool = False,
     accumulate_grad_batches: int = 1,
+    steps_per_call: int = 1,
 ) -> TrainState:
     """Train ``lit`` on ``datamodule`` for ``max_steps`` optimizer steps.
 
     Defaults mirror the reference recipe: seed 1337 (src/dmme/trainer.py:9),
     log every 50 steps, checkpoint every 100k + last
     (configs/ddpm/cifar10.yaml:11-14,49).
+
+    ``steps_per_call > 1`` fuses that many optimizer steps into one scanned
+    device program (`make_train_chunk`): one dispatch per chunk, weights
+    pinned in HBM — the right mode for thin hosts and remote-attached TPUs.
+    Logging/checkpoint cadences then snap to chunk boundaries.
     """
     datamodule.prepare_data()
     datamodule.setup("fit")
@@ -61,7 +72,13 @@ def fit(
     loss_fn = lit.make_loss_fn(datamodule)
     if accumulate_grad_batches > 1:
         loss_fn = _microbatched(loss_fn, accumulate_grad_batches)
-    train_step = make_train_step(loss_fn)
+    if steps_per_call > 1:
+        assert accumulate_grad_batches == 1, (
+            "steps_per_call and accumulate_grad_batches are mutually exclusive"
+        )
+        train_step = make_train_chunk(loss_fn, steps_per_call)
+    else:
+        train_step = make_train_step(loss_fn)
 
     logger = MetricLogger(ckpt_dir)
     for cb in callbacks:
@@ -73,33 +90,55 @@ def fit(
     imgs_since = 0
 
     it = datamodule.train_iter(seed)
-    for step in range(start_step, max_steps):
-        batch = next(it)
-        if accumulate_grad_batches > 1:
-            micro = [next(it) for _ in range(accumulate_grad_batches - 1)]
-            batch = np.stack([batch] + micro)
+    step = start_step
+    while step < max_steps:
+        stride = min(steps_per_call, max_steps - step)
+        if steps_per_call > 1:
+            if stride != steps_per_call:  # tail chunk: recompile-free fallback
+                break
+            batch = jax.tree.map(
+                lambda *xs: np.stack(xs), *[next(it) for _ in range(stride)]
+            )
+        else:
+            batch = next(it)
+            if accumulate_grad_batches > 1:
+                micro = [next(it) for _ in range(accumulate_grad_batches - 1)]
+                batch = np.stack([batch] + micro)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = train_step(state, batch, run_rng)
+        if steps_per_call > 1:
+            metrics = jax.tree.map(lambda m: m[-1], metrics)
         lead = jax.tree.leaves(batch)[0]
         imgs_since += int(np.prod(lead.shape[:-3]))  # (..., H, W, C) leading dims
+        step += stride
         pending = (step, metrics)
 
-        if (step + 1) % log_every == 0:
+        if step % log_every < stride:
             s, m = pending
             m = jax.device_get(m)  # blocks; amortized over log_every steps
             now = time.time()
             m["imgs_per_sec"] = imgs_since / max(now - t_last, 1e-9)
             t_last, imgs_since = now, 0
-            logger.log(s + 1, m)
+            logger.log(s, m)
             for cb in callbacks:
-                _call(cb, "on_log", step=s + 1, lit=lit, state=state, metrics=m)
+                _call(cb, "on_log", step=s, lit=lit, state=state, metrics=m)
 
-        if ckpt is not None and (step + 1) % ckpt_every == 0:
-            ckpt.save(step + 1, state)
+        if ckpt is not None and step % ckpt_every < stride:
+            ckpt.save(step, state)
 
         for cb in callbacks:
-            _call(cb, "on_train_step_end", step=step + 1, lit=lit, state=state)
+            _call(cb, "on_train_step_end", step=step, lit=lit, state=state)
+
+    # tail steps that don't fill a chunk run one-at-a-time
+    if steps_per_call > 1 and step < max_steps:
+        single = make_train_step(loss_fn)
+        while step < max_steps:
+            batch = next(it)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, _ = single(state, batch, run_rng)
+            step += 1
 
     if ckpt is not None:
         if ckpt.latest_step() != max_steps:

@@ -191,6 +191,16 @@ class TestFitLoop:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == 1
 
+    def test_steps_per_call_chunked(self, rng, tmp_path):
+        lit = tiny_lit()
+        dm = CIFAR10(synthetic=True, synthetic_size=64, batch_size=8)
+        state = fit(
+            lit, dm, max_steps=7, steps_per_call=3, log_every=3,
+            ckpt_dir=str(tmp_path / "c3"), ckpt_every=100,
+        )
+        # 2 full chunks (6 steps) + 1 tail step
+        assert int(jax.device_get(state.step)) == 7
+
     def test_grad_accumulation(self, rng):
         lit = tiny_lit()
         dm = CIFAR10(synthetic=True, synthetic_size=64, batch_size=4)
