@@ -62,6 +62,8 @@ def cmd_fit(config: Dict[str, Any]) -> None:
         callbacks=callbacks,
         resume=config.get("ckpt_path") is not None or bool(tc.get("resume", False)),
         accumulate_grad_batches=int(tc.get("accumulate_grad_batches") or 1),
+        steps_per_call=int(tc.get("steps_per_call") or 1),
+        debug_nans=bool(tc.get("detect_anomaly", False)),
     )
 
 

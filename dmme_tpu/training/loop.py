@@ -40,6 +40,7 @@ def fit(
     resume: bool = False,
     accumulate_grad_batches: int = 1,
     steps_per_call: int = 1,
+    debug_nans: bool = False,
 ) -> TrainState:
     """Train ``lit`` on ``datamodule`` for ``max_steps`` optimizer steps.
 
@@ -52,6 +53,11 @@ def fit(
     pinned in HBM — the right mode for thin hosts and remote-attached TPUs.
     Logging/checkpoint cadences then snap to chunk boundaries.
     """
+    if debug_nans:
+        # the TPU analogue of the reference's detect_anomaly slot
+        # (configs/ddpm/cifar10.yaml:63): fail loudly at the producing op
+        jax.config.update("jax_debug_nans", True)
+
     datamodule.prepare_data()
     datamodule.setup("fit")
 
@@ -91,6 +97,46 @@ def fit(
 
     it = datamodule.train_iter(seed)
     step = start_step
+    holder = {"state": state}  # progress visible to the interrupt handler
+    try:
+        state, step = _train_loop(
+            lit, holder, step, max_steps, it, train_step, run_rng, mesh,
+            steps_per_call, accumulate_grad_batches, log_every, ckpt,
+            ckpt_every, callbacks, logger, t_last, imgs_since, loss_fn,
+        )
+    except KeyboardInterrupt:
+        # graceful preemption: persist progress before propagating (the
+        # reference relies on Lightning's last-checkpoint only)
+        state = holder["state"]
+        if ckpt is not None:
+            try:
+                done = int(jax.device_get(state.step))
+                if ckpt.latest_step() != done:
+                    ckpt.save(done, state, force=True)
+                ckpt.wait()
+            except Exception:
+                # an interrupt mid-step can leave the last state's buffers
+                # donated into the in-flight call; skip rather than mask the
+                # interrupt
+                pass
+        raise
+
+    if ckpt is not None:
+        if ckpt.latest_step() != max_steps:
+            ckpt.save(max_steps, state, force=True)  # save_last parity
+        ckpt.wait()
+    for cb in callbacks:
+        _call(cb, "on_fit_end", lit=lit, state=state)
+    logger.close()
+    return state
+
+
+def _train_loop(
+    lit, holder, step, max_steps, it, train_step, run_rng, mesh,
+    steps_per_call, accumulate_grad_batches, log_every, ckpt, ckpt_every,
+    callbacks, logger, t_last, imgs_since, loss_fn,
+):
+    state = holder["state"]
     while step < max_steps:
         stride = min(steps_per_call, max_steps - step)
         if steps_per_call > 1:
@@ -107,6 +153,7 @@ def fit(
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = train_step(state, batch, run_rng)
+        holder["state"] = state
         if steps_per_call > 1:
             metrics = jax.tree.map(lambda m: m[-1], metrics)
         lead = jax.tree.leaves(batch)[0]
@@ -138,16 +185,10 @@ def fit(
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             state, _ = single(state, batch, run_rng)
+            holder["state"] = state
             step += 1
 
-    if ckpt is not None:
-        if ckpt.latest_step() != max_steps:
-            ckpt.save(max_steps, state, force=True)  # save_last parity
-        ckpt.wait()
-    for cb in callbacks:
-        _call(cb, "on_fit_end", lit=lit, state=state)
-    logger.close()
-    return state
+    return state, step
 
 
 def _microbatched(loss_fn, k: int):

@@ -116,6 +116,39 @@ class TestTrainerCLI:
         main(["fit", "--config", str(cfg)])
         assert (tmp_path / "run" / "metrics.jsonl").exists()
 
+    def test_test_subcommand(self, tmp_path, capsys):
+        """fit 1 step -> test: restores the checkpoint and reports FID/IS."""
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            textwrap.dedent(
+                f"""
+                trainer:
+                  max_steps: 1
+                  log_every_n_steps: 10
+                  ckpt_every_n_steps: 1
+                  default_root_dir: {tmp_path}/runt
+                  limit_test_batches: 1
+                model:
+                  class_path: dmme_tpu.training.LitDDPM
+                  init_args:
+                    timesteps: 4
+                    model:
+                      class_path: dmme_tpu.models.ddpm.UNet
+                      init_args: {{pos_dim: 4, emb_dim: 8, num_groups: 2,
+                                   channels_per_depth: [4, 8, 8, 8], num_blocks: 1}}
+                data:
+                  class_path: dmme_tpu.data.CIFAR10
+                  init_args: {{synthetic: true, synthetic_size: 8, batch_size: 4}}
+                """
+            )
+        )
+        from dmme_tpu.trainer import main
+
+        main(["fit", "--config", str(cfg)])
+        main(["test", "--config", str(cfg)])
+        out = capsys.readouterr().out
+        assert "fid" in out and "inception_score" in out
+
     def test_sample_subcommand(self, tmp_path):
         cfg = tmp_path / "cfg.yaml"
         cfg.write_text(
