@@ -1,0 +1,194 @@
+"""End-to-end numerical parity vs the reference torch UNets.
+
+Loads the reference model *files* directly (torch + einops only — no dmme
+package import), copies their randomly-initialized weights into the flax
+UNet, and compares forward outputs on the same inputs. This pins layer
+order, conv/linear conventions, GN epsilon, conditioning wiring, attention
+head-splitting, and the skip topology all at once.
+"""
+
+import importlib.util
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from dmme_tpu.models import ddpm as ddpm_models, iddpm as iddpm_models
+
+TINY = dict(
+    pos_dim=4, emb_dim=8, num_groups=2, channels_per_depth=(4, 8, 16, 32),
+    num_blocks=2,
+)
+
+
+def _load_ref(name):
+    """Load reference model modules under a synthetic package so the iddpm
+    module's relative import of ddpm resolves."""
+    import sys
+    import types
+
+    base = "/root/reference/src/dmme/models"
+    if "refmodels" not in sys.modules:
+        pkg = types.ModuleType("refmodels")
+        pkg.__path__ = [base]
+        sys.modules["refmodels"] = pkg
+    full = f"refmodels.{name}"
+    if full in sys.modules:
+        return sys.modules[full]
+    if name == "iddpm":
+        _load_ref("ddpm")
+    spec = importlib.util.spec_from_file_location(full, f"{base}/{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _conv_w(w):  # OIHW -> HWIO
+    return jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0))
+
+
+def _lin_w(w):  # (O, I) -> (I, O)
+    return jnp.asarray(w.detach().numpy().T)
+
+
+def _arr(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+def _copy_conv(dst, conv):
+    dst["kernel"] = _conv_w(conv.weight)
+    if conv.bias is not None:
+        dst["bias"] = _arr(conv.bias)
+
+
+def _copy_gn(dst, gn):
+    dst["scale"] = _arr(gn.weight)
+    dst["bias"] = _arr(gn.bias)
+
+
+def _copy_attention(dst, attn, heads):
+    _copy_gn(dst["GroupNorm_0"], attn.norm)
+    if heads == 1:
+        _copy_conv(dst["qkv_proj"], attn.qkv_proj)
+    else:
+        # reference MHA splits channels (head, 3c'); ours (3, head, c').
+        # permute output channels of the qkv projection accordingly.
+        w = attn.qkv_proj.weight.detach().numpy()  # (3D, I, 1, 1)
+        b = attn.qkv_proj.bias.detach().numpy()
+        three_d = w.shape[0]
+        d = three_d // 3
+        cp = d // heads  # per-head dim
+        perm = [
+            h * (3 * cp) + part * cp + j
+            for part in range(3)
+            for h in range(heads)
+            for j in range(cp)
+        ]
+        wp = w[perm]
+        dst["qkv_proj"]["kernel"] = jnp.asarray(wp.transpose(2, 3, 1, 0))
+        dst["qkv_proj"]["bias"] = jnp.asarray(b[perm])
+    _copy_conv(dst["proj"], attn.proj)
+
+
+def _copy_resblock(dst, rb, film, heads):
+    # conv1 = Sequential(norm, act, conv)
+    _copy_gn(dst["norm1"], rb.conv1[0])
+    _copy_conv(dst["conv1"], rb.conv1[2])
+    dst["condition"]["kernel"] = _lin_w(rb.condition[0].weight)
+    dst["condition"]["bias"] = _arr(rb.condition[0].bias)
+    if film:
+        _copy_gn(dst["norm2"], rb.norm)
+        conv2 = rb.conv2[-1]  # Sequential(act[, drop], conv)
+    else:
+        _copy_gn(dst["norm2"], rb.conv2[0])
+        conv2 = rb.conv2[-1]
+    _copy_conv(dst["conv2"], conv2)
+    if not isinstance(rb.residual, torch.nn.Identity):
+        _copy_conv(dst["residual"], rb.residual)
+    if not isinstance(rb.attention, torch.nn.Identity):
+        _copy_attention(dst["attention"], rb.attention, heads)
+
+
+def _copy_unet(params, net, film, heads):
+    p = params["params"]
+    p["time_embed"]["Dense_0"]["kernel"] = _lin_w(net.condition[1].weight)
+    p["time_embed"]["Dense_0"]["bias"] = _arr(net.condition[1].bias)
+    p["time_embed"]["Dense_1"]["kernel"] = _lin_w(net.condition[3].weight)
+    p["time_embed"]["Dense_1"]["bias"] = _arr(net.condition[3].bias)
+    _copy_conv(p["input_conv"], net.input_conv)
+
+    for i, layer in enumerate(net.down_layers):
+        if isinstance(layer, torch.nn.Conv2d):  # DownSample
+            _copy_conv(p[f"down_{i}"]["Conv_0"], layer)
+        else:
+            _copy_resblock(p[f"down_{i}"], layer, film, heads)
+    for i, layer in enumerate(net.middle_layers):
+        _copy_resblock(p[f"middle_{i}"], layer, film, heads)
+    for i, layer in enumerate(net.up_layers):
+        if layer.__class__.__name__ == "UpSample":
+            _copy_conv(p[f"up_{i}"]["Conv_0"], layer.conv)
+        else:
+            _copy_resblock(p[f"up_{i}"], layer, film, heads)
+
+    _copy_gn(p["out_norm"], net.output_conv[0])
+    _copy_conv(p["output_conv"], net.output_conv[2])
+    return params
+
+
+def _to_mutable(params):
+    return jax.tree_util.tree_map(lambda x: x, params)  # dicts already mutable
+
+
+class TestDDPMUNetParity:
+    def test_forward_matches_reference(self, rng):
+        ref = _load_ref("ddpm")
+        torch.manual_seed(0)
+        net = ref.UNet(**TINY, dropout=0.0, attention_depths=(2,)).eval()
+
+        model = ddpm_models.UNet(**TINY, dropout=0.0, attention_depths=(2,))
+        x = jnp.zeros((2, 32, 32, 3))
+        t = jnp.array([5, 500], jnp.int32)
+        params = model.init(rng, x, t)
+        params = _copy_unet(params, net, film=False, heads=1)
+
+        rs = np.random.RandomState(0)
+        xin = rs.randn(2, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            want = net(torch.tensor(xin), torch.tensor([5, 500])).numpy()
+        got = model.apply(params, jnp.asarray(xin.transpose(0, 2, 3, 1)), t)
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestIDDPMUNetParity:
+    def test_forward_matches_reference_batch1(self, rng):
+        """Batch 1: the reference's MultiHeadAttention rearranges the fused
+        batch-head axis inconsistently — "(b head)" on the way in
+        (models/iddpm.py:38) but "(head b)" on the way out (:44) — which
+        scrambles batch↔head assignment whenever batch > 1. We implement the
+        correct (consistent) split, so exact parity holds only at batch 1,
+        where the scramble is the identity. Documented as reference
+        deviation #6 (PARITY.md)."""
+        ref = _load_ref("iddpm")
+        torch.manual_seed(1)
+        net = ref.UNet(**TINY, dropout=0.0, attention_depths=(2, 3)).eval()
+
+        model = iddpm_models.UNet(
+            **TINY, dropout=0.0, attention_depths=(2, 3), num_heads=4
+        )
+        x = jnp.zeros((1, 32, 32, 3))
+        t = jnp.array([7], jnp.int32)
+        params = model.init(rng, x, t)
+        params = _copy_unet(params, net, film=True, heads=4)
+
+        rs = np.random.RandomState(1)
+        xin = rs.randn(1, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            want = net(torch.tensor(xin), torch.tensor([7])).numpy()
+        got = model.apply(params, jnp.asarray(xin.transpose(0, 2, 3, 1)), t)
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
