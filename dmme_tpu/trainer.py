@@ -109,7 +109,9 @@ def cmd_sample(config: Dict[str, Any]) -> None:
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="dmme_tpu.trainer")
-    parser.add_argument("subcommand", choices=["fit", "test", "sample"])
+    parser.add_argument(
+        "subcommand", choices=["fit", "validate", "test", "sample", "predict"]
+    )
     parser.add_argument("--config", required=True)
     args, overrides = parser.parse_known_args(argv)
 
@@ -119,7 +121,14 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
 
-    {"fit": cmd_fit, "test": cmd_test, "sample": cmd_sample}[args.subcommand](config)
+    dispatch = {
+        "fit": cmd_fit,
+        "test": cmd_test,
+        "validate": cmd_test,   # LightningCLI surface parity
+        "sample": cmd_sample,
+        "predict": cmd_sample,  # LightningCLI surface parity
+    }
+    dispatch[args.subcommand](config)
 
 
 if __name__ == "__main__":
