@@ -36,6 +36,7 @@ from dmme_tpu import diffusion as diffusion_models  # reference naming alias
 from dmme_tpu.training import LitDDPM, LitDDIM, LitIDDPM, LitClassifier
 from dmme_tpu.data import CIFAR10, LSUN, ImageFolder64
 from dmme_tpu import datasets
+from dmme_tpu import callbacks
 
 __all__ = [
     "gaussian",

@@ -166,6 +166,9 @@ def _train_loop(
             m = jax.device_get(m)  # blocks; amortized over log_every steps
             now = time.time()
             m["imgs_per_sec"] = imgs_since / max(now - t_last, 1e-9)
+            # LearningRateMonitor parity (reference configs attach it)
+            if hasattr(lit, "lr") and hasattr(lit, "warmup"):
+                m["lr"] = lit.lr * min(1.0, s / max(lit.warmup, 1))
             t_last, imgs_since = now, 0
             logger.log(s, m)
             for cb in callbacks:
