@@ -112,19 +112,11 @@ class ADMAttention(nn.Module):
         hx = group_norm(32)(x).astype(self.dtype)
         qkv = conv1x1(3 * c, self.dtype, self.param_dtype, name="qkv")(hx)
         qkv = qkv.reshape(n, h * w, 3, heads, head_dim)
-        q, k, v = (
-            qkv[:, :, i].transpose(0, 2, 1, 3).reshape(n * heads, h * w, head_dim)
-            for i in range(3)
-        )
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        from dmme_tpu.ops.attention import attention as fused_attention
+        from dmme_tpu.ops.attention import attention_heads
 
-        out = fused_attention(q, k, v, head_dim ** -0.5)
-        out = (
-            out.reshape(n, heads, h * w, head_dim)
-            .transpose(0, 2, 1, 3)
-            .reshape(n, h, w, c)
-        )
+        out = attention_heads(q, k, v, head_dim ** -0.5).reshape(n, h, w, c)
         out = nn.Conv(
             c, (1, 1), kernel_init=nn.initializers.zeros,
             dtype=self.dtype, param_dtype=self.param_dtype, name="proj",

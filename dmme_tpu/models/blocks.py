@@ -119,21 +119,12 @@ class SelfAttention2d(nn.Module):
         hx = group_norm(self.num_groups)(x).astype(self.dtype)
         qkv = conv1x1(3 * c, self.dtype, self.param_dtype, name="qkv_proj")(hx)
         qkv = qkv.reshape(n, h * w, 3, heads, head_dim)
-        # (n, hw, heads, hd) -> (n*heads, hw, hd) for the fused kernel
-        q, k, v = (
-            qkv[:, :, i].transpose(0, 2, 1, 3).reshape(n * heads, h * w, head_dim)
-            for i in range(3)
-        )
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (n, hw, heads, hd)
 
-        from dmme_tpu.ops.attention import attention as fused_attention
+        from dmme_tpu.ops.attention import attention_heads
 
         scale = self.dim ** -0.5  # parity: full-dim scale (see docstring)
-        out = fused_attention(q, k, v, scale)
-        out = (
-            out.reshape(n, heads, h * w, head_dim)
-            .transpose(0, 2, 1, 3)
-            .reshape(n, h, w, c)
-        )
+        out = attention_heads(q, k, v, scale).reshape(n, h, w, c)
         out = conv1x1(c, self.dtype, self.param_dtype, name="proj")(out)
         return x + out
 

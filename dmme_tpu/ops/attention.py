@@ -113,6 +113,31 @@ def _fused_bwd(scale, res, g):
 _attention_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def attention_heads(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+    force: str | None = None,
+) -> jax.Array:
+    """Multi-head attention on (N, T, H, D) tensors → (N, T, H, D).
+
+    XLA path works on the head-structured layout directly (no transposes to
+    materialize); the Pallas path flattens heads into the batch for the
+    single-tile kernel. This is the entry the UNet attention blocks use.
+    """
+    n, t, h, d = q.shape
+    # auto = XLA (end-to-end measurement; see docs/performance.md)
+    use_pallas = False if force is None else force == "pallas"
+    if use_pallas:
+        def flat(x):
+            return x.transpose(0, 2, 1, 3).reshape(n * h, t, d)
+
+        out = _attention_fused(flat(q), flat(k), flat(v), scale)
+        return out.reshape(n, h, t, d).transpose(0, 2, 1, 3)
+
+    s = jnp.einsum("nqhd,nkhd->nhqk", q, k * scale)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("nhqk,nkhd->nqhd", p, v)
+
+
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
               force: str | None = None) -> jax.Array:
     """Batched single-tile attention: inputs (BH, T, D) → (BH, T, D).
