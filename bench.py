@@ -81,6 +81,19 @@ def main():
     float(jnp.sum(out))
     sample_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
 
+    # ---- opt-in encoder-reuse sampler (approximate; docs/performance.md) ----
+    from dmme_tpu.diffusion import CachedDDIM
+
+    fast = CachedDDIM.create(timesteps=1000, sub_timesteps=50, refresh_interval=2)
+    fgen = jax.jit(fast.generate, static_argnums=(0, 3))
+    out = fgen(lit.model, params, jax.random.PRNGKey(1), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for i in range(SAMPLE_REPEATS):
+        out = fgen(lit.model, params, jax.random.PRNGKey(i), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    fast_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -89,6 +102,7 @@ def main():
                 "unit": "imgs/sec/chip",
                 "vs_baseline": round(train_ips / BASELINE_IMGS_PER_SEC, 3),
                 "ddim50_sample_imgs_per_sec_chip": round(sample_ips, 2),
+                "ddim50_encoder_cached_imgs_per_sec_chip": round(fast_ips, 2),
                 "train_step_ms": round(1000 * dt / (CHUNK * CHUNKS_TIMED), 2),
                 "final_loss": round(last_loss, 4),
             }

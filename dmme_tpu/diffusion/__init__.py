@@ -12,6 +12,7 @@ from dmme_tpu.diffusion.guidance import (
     ClassifierGuidedDDIM,
     classifier_grad,
 )
+from dmme_tpu.diffusion.fast import CachedDDIM
 
 __all__ = [
     "DDPM",
@@ -21,4 +22,5 @@ __all__ = [
     "ClassifierGuidedDDPM",
     "ClassifierGuidedDDIM",
     "classifier_grad",
+    "CachedDDIM",
 ]

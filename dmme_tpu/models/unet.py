@@ -117,13 +117,27 @@ class UNet(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, t: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        *,
+        train: bool = False,
+        return_features: bool = False,
+        cached=None,
+    ):
         """Predict noise (and variance interpolation if configured) from NHWC ``x``.
 
         Args:
             x: image batch, shape (N, H, W, C), value range [-1, 1].
             t: integer timesteps, shape (N,) (broadcast from scalars upstream).
             train: enables dropout (requires a ``dropout`` rng).
+            return_features: also return the encoder state
+                ``(h_bottom, skips)`` for later reuse.
+            cached: encoder state from a previous call — skips the entire
+                down path and decodes with the CURRENT timestep embedding
+                (encoder-reuse fast sampling, "Faster Diffusion"-style;
+                see dmme_tpu.diffusion.fast).
         """
         down_specs, middle_specs, up_specs = build_topology(
             self.channels_per_depth, self.num_blocks, self.attention_depths
@@ -149,18 +163,26 @@ class UNet(nn.Module):
             self.pos_dim, self.emb_dim, self.dtype, self.param_dtype, name="time_embed"
         )(t)
 
-        x = x.astype(self.dtype)
-        h = conv3x3(
-            self.channels_per_depth[0], 1, self.dtype, self.param_dtype, name="input_conv"
-        )(x)
+        if cached is None:
+            x = x.astype(self.dtype)
+            h = conv3x3(
+                self.channels_per_depth[0], 1, self.dtype, self.param_dtype,
+                name="input_conv",
+            )(x)
 
-        skips = [h]
-        for i, spec in enumerate(down_specs):
-            if spec.kind == "res":
-                h = res(spec, f"down_{i}")(h, emb)
-            else:
-                h = Downsample(spec.c_out, self.dtype, self.param_dtype, name=f"down_{i}")(h)
-            skips.append(h)
+            skips = [h]
+            for i, spec in enumerate(down_specs):
+                if spec.kind == "res":
+                    h = res(spec, f"down_{i}")(h, emb)
+                else:
+                    h = Downsample(
+                        spec.c_out, self.dtype, self.param_dtype, name=f"down_{i}"
+                    )(h)
+                skips.append(h)
+        else:
+            h, skips = cached
+            skips = list(skips)
+        features = (h, tuple(skips))
 
         for i, spec in enumerate(middle_specs):
             h = res(spec, f"middle_{i}")(h, emb)
@@ -177,4 +199,6 @@ class UNet(nn.Module):
         h = group_norm(self.num_groups, name="out_norm")(h).astype(self.dtype)
         h = nn.silu(h)
         h = conv3x3(out_ch, 1, self.dtype, self.param_dtype, name="output_conv")(h)
+        if return_features:
+            return h, features
         return h
