@@ -147,7 +147,18 @@ class UNetModel(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t, y: Optional[jax.Array] = None, *, train: bool = False):
+    def __call__(
+        self,
+        x,
+        t,
+        y: Optional[jax.Array] = None,
+        *,
+        train: bool = False,
+        return_features: bool = False,
+        cached=None,
+    ):
+        """``return_features``/``cached`` implement the same encoder-reuse
+        API as ``models.unet.UNet`` (see ``diffusion.fast.CachedDDIM``)."""
         ch = self.model_channels
         emb_dim = 4 * ch
         emb = sinusoidal_position_embedding(t, ch, self.dtype)
@@ -173,21 +184,27 @@ class UNetModel(nn.Module):
                 self.num_head_channels, self.dtype, self.param_dtype, name=name
             )
 
-        x = x.astype(self.dtype)
-        h = conv3x3(ch, 1, self.dtype, self.param_dtype, name="input_conv")(x)
         res_size = self.image_size
+        if cached is None:
+            x = x.astype(self.dtype)
+            h = conv3x3(ch, 1, self.dtype, self.param_dtype, name="input_conv")(x)
 
-        skips = [h]
-        for level, mult in enumerate(self.channel_mult):
-            for i in range(self.num_res_blocks):
-                h = res(ch * mult, f"down_{level}_{i}")(h, emb)
-                if res_size in self.attention_resolutions:
-                    h = attn(f"down_attn_{level}_{i}")(h)
-                skips.append(h)
-            if level != len(self.channel_mult) - 1:
-                h = res(h.shape[-1], f"downsample_{level}", down=True)(h, emb)
-                skips.append(h)
-                res_size //= 2
+            skips = [h]
+            for level, mult in enumerate(self.channel_mult):
+                for i in range(self.num_res_blocks):
+                    h = res(ch * mult, f"down_{level}_{i}")(h, emb)
+                    if res_size in self.attention_resolutions:
+                        h = attn(f"down_attn_{level}_{i}")(h)
+                    skips.append(h)
+                if level != len(self.channel_mult) - 1:
+                    h = res(h.shape[-1], f"downsample_{level}", down=True)(h, emb)
+                    skips.append(h)
+                    res_size //= 2
+        else:
+            h, skips = cached
+            skips = list(skips)
+            res_size = self.image_size // (2 ** (len(self.channel_mult) - 1))
+        features = (h, tuple(skips))
 
         h = res(h.shape[-1], "middle_0")(h, emb)
         h = attn("middle_attn")(h)
@@ -209,7 +226,10 @@ class UNetModel(nn.Module):
         )
         h = group_norm(32, name="out_norm")(h).astype(self.dtype)
         h = nn.silu(h)
-        return _zero_conv3x3(out_ch, self.dtype, self.param_dtype, name="out_conv")(h)
+        out = _zero_conv3x3(out_ch, self.dtype, self.param_dtype, name="out_conv")(h)
+        if return_features:
+            return out, features
+        return out
 
 
 class EncoderUNet(nn.Module):

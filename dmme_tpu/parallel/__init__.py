@@ -16,6 +16,7 @@ from dmme_tpu.parallel.train_step import (
     shard_batch,
     global_norm,
 )
+from dmme_tpu.parallel.distributed import initialize, global_batch
 
 __all__ = [
     "make_mesh",
@@ -30,4 +31,6 @@ __all__ = [
     "shard_state",
     "shard_batch",
     "global_norm",
+    "initialize",
+    "global_batch",
 ]

@@ -1,0 +1,39 @@
+"""Multi-host (multi-process) initialization.
+
+On a TPU pod each host runs the same program; call :func:`initialize` first
+thing and every helper in this package operates on the GLOBAL device list —
+`make_mesh` spans hosts, `shard_batch` expects per-host batches placed with
+`jax.make_array_from_process_local_data` (use :func:`global_batch`).
+XLA routes mesh-axis collectives over ICI within a slice and DCN across
+slices; keeping the ``data`` axis outermost (the default) puts the one
+gradient all-reduce on the cheap path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """``jax.distributed.initialize`` passthrough; on TPU pods all arguments
+    are discovered automatically from the environment."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_batch(local_batch, mesh):
+    """Assemble a globally-sharded batch from this host's local shard."""
+    from dmme_tpu.parallel.mesh import batch_sharding
+
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), local_batch
+    )

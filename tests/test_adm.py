@@ -85,6 +85,17 @@ class TestADM:
         out = model.apply(params, x, t)
         assert out.shape == (1, 128, 128, 6)
 
+    def test_encoder_cache_api(self, rng):
+        """ADM supports the same feature-capture/reuse API as the UNet."""
+        model = adm.ADM(image_size=16, class_conditional=False, **TINY)
+        x = jax.random.normal(rng, (2, 16, 16, 3))
+        t = jnp.array([3, 3], jnp.int32)
+        params = jax.jit(model.init)(rng, jnp.zeros_like(x), t)
+        params = jax.tree.map(lambda p: p + 0.01, params)  # off zero-init
+        out, cache = model.apply(params, x, t, return_features=True)
+        out2 = model.apply(params, x, t, cached=cache)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5)
+
     def test_guided_sampling_with_adm(self, rng):
         """Classifier-guided DDIM over ADM — inside jit, tiny shapes."""
         from dmme_tpu.diffusion import ClassifierGuidedDDIM
