@@ -37,4 +37,9 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+    import sys
+
     main()
+    sys.stderr.flush()
+    os._exit(0)  # remote-TPU client threads would otherwise hold the tunnel

@@ -49,9 +49,13 @@ def train(steps: int, data_dir: str, synthetic: bool, chunk: int = 50):
 
 
 if __name__ == "__main__":
+    import os
+
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=800_000)
     p.add_argument("--data-dir", default=".")
     p.add_argument("--synthetic", action="store_true")
     args = p.parse_args()
     train(args.steps, args.data_dir, args.synthetic)
+    sys.stderr.flush()
+    os._exit(0)  # remote-TPU client threads would otherwise hold the tunnel
