@@ -96,6 +96,11 @@ def fit(
     imgs_since = 0
 
     it = datamodule.train_iter(seed)
+    # resume determinism: skip the batches already consumed so step k sees
+    # the same data whether or not training was interrupted (per-step rng is
+    # already reproducible via fold_in(run_key, step))
+    for _ in range(start_step * max(accumulate_grad_batches, 1)):
+        next(it)
     step = start_step
     holder = {"state": state}  # progress visible to the interrupt handler
     try:

@@ -177,6 +177,26 @@ class TestFitLoop:
         )
         assert int(jax.device_get(state.step)) == 5
 
+    def test_resume_is_bitwise_deterministic(self, tmp_path, rng):
+        """4 straight steps == 2 steps + checkpoint + resume + 2 steps:
+        per-step rng folds the step counter and the data iterator is
+        fast-forwarded on resume, so the streams align exactly."""
+        dm = CIFAR10(synthetic=True, synthetic_size=64, batch_size=8)
+        straight = fit(tiny_lit(), dm, max_steps=4, log_every=100, seed=11)
+
+        dm2 = CIFAR10(synthetic=True, synthetic_size=64, batch_size=8)
+        ckpt_dir = str(tmp_path / "det")
+        fit(tiny_lit(), dm2, max_steps=2, ckpt_dir=ckpt_dir, ckpt_every=100,
+            log_every=100, seed=11)
+        resumed = fit(
+            tiny_lit(), dm2, max_steps=4, ckpt_dir=ckpt_dir, ckpt_every=100,
+            log_every=100, resume=True, seed=11,
+        )
+        for a, b in zip(
+            jax.tree.leaves(straight.params), jax.tree.leaves(resumed.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_checkpoint_roundtrip_exact(self, tmp_path, rng):
         lit = tiny_lit()
         state = lit.init_state(rng, img_size=16)
