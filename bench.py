@@ -101,6 +101,13 @@ def main():
                 "value": round(train_ips, 2),
                 "unit": "imgs/sec/chip",
                 "vs_baseline": round(train_ips / BASELINE_IMGS_PER_SEC, 3),
+                # The reference publishes NO numbers (BASELINE.md); 220 is an
+                # estimate of its recipe's GPU throughput class, not measured.
+                "vs_baseline_is_estimate": True,
+                "baseline_imgs_per_sec_estimate": BASELINE_IMGS_PER_SEC,
+                "baseline_derivation": "DDPM CIFAR-10 batch 128 fp16 AMP, "
+                "32.4M UNet, ~1.5-2 it/s on a single modern GPU (unpublished "
+                "by reference; see BASELINE.md 'must be measured')",
                 "ddim50_sample_imgs_per_sec_chip": round(sample_ips, 2),
                 "ddim50_encoder_cached_imgs_per_sec_chip": round(fast_ips, 2),
                 "train_step_ms": round(1000 * dt / (CHUNK * CHUNKS_TIMED), 2),

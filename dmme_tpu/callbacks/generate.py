@@ -40,7 +40,7 @@ class GenerateImage:
         num_samples: int = 8,
         vis_length: int = 10,
         out_dir: str = "samples",
-        use_ema: bool = True,
+        use_ema: Optional[bool] = None,
     ):
         if len(imgsize) != 3:
             raise ValueError("imgsize must be (C,H,W) or (H,W,C)")

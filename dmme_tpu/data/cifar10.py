@@ -37,6 +37,8 @@ def _from_planes(flat: np.ndarray) -> np.ndarray:
 
 
 class CIFAR10(DataModule):
+    img_size = 32
+
     def __init__(
         self,
         data_dir: str = ".",

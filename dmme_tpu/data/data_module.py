@@ -32,6 +32,10 @@ class DataModule:
     """Base class; subclasses populate ``self.train_data`` / ``self.test_data``
     as uint8 NHWC numpy arrays in :meth:`setup_train` / :meth:`setup_test`."""
 
+    #: image side length, knowable WITHOUT loading the dataset (lets
+    #: ``sample`` run from a checkpoint on a box that has no training data)
+    img_size: Optional[int] = None
+
     def __init__(self, batch_size: int = 128):
         self.batch_size = batch_size
         self.train_data: Optional[np.ndarray] = None
@@ -61,17 +65,39 @@ class DataModule:
         raise NotImplementedError
 
     # ------------------------------------------------------------- iteration
-    def train_iter(self, seed: int = 0) -> Iterator[np.ndarray]:
-        """Infinite shuffled uint8 batches (host-side index shuffle only)."""
+    def train_iter(
+        self,
+        seed: int = 0,
+        *,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ) -> Iterator[np.ndarray]:
+        """Infinite shuffled uint8 batches (host-side index shuffle only).
+
+        Multi-host: with ``process_index``/``process_count`` set, every host
+        draws the SAME global permutation (same seed) and yields its
+        ``batch_size/process_count`` slice of each global batch — the local
+        shard that :func:`dmme_tpu.parallel.global_batch` assembles into one
+        globally-sharded array. ``batch_size`` stays the GLOBAL batch size,
+        matching the single-process recipe exactly.
+        """
         assert self.train_data is not None, "call setup('fit') first"
         data = self.train_data
         n = data.shape[0]
         rng = np.random.default_rng(seed)
         labels = self.train_labels
+        lo, hi = 0, self.batch_size
+        if process_count is not None and process_count > 1:
+            assert self.batch_size % process_count == 0, (
+                f"global batch {self.batch_size} not divisible by "
+                f"{process_count} processes"
+            )
+            local = self.batch_size // process_count
+            lo, hi = process_index * local, (process_index + 1) * local
         while True:
             perm = rng.permutation(n)
             for i in range(0, n - self.batch_size + 1, self.batch_size):
-                idx = perm[i : i + self.batch_size]
+                idx = perm[i : i + self.batch_size][lo:hi]
                 if labels is None:
                     yield data[idx]
                 else:

@@ -20,6 +20,8 @@ from dmme_tpu.data.data_module import DataModule, random_horizontal_flip
 
 
 class ImageFolder64(DataModule):
+    img_size = 64
+
     def __init__(
         self,
         data_dir: str = ".",

@@ -61,6 +61,7 @@ class LSUN(DataModule):
         self.category = category
         self.split = split
         self.imgsize = imgsize
+        self.img_size = imgsize
         self.horizontal_flip = horizontal_flip
         self.cache_decoded = cache_decoded
         self.limit = limit

@@ -43,10 +43,12 @@ OBJECTS = [
     "potted_plant", "sheep", "sofa", "train", "tv-monitor",
 ]
 
-# Known-corrupt keys in the official cat archive (reference: lsun.py:152-157).
+# Known-corrupt keys in the official cat archive — byte-for-byte the
+# reference's ``ignore_keys`` (reference: lsun.py:152-157).
 CORRUPT_KEYS = {
     "cat": {
-        b"a2b6fdd2b29da3f42e8cdf6a1ba82a96aa6bc9c0",
+        b"05c509a12295c0725be85566680c58c81965ea63",
+        b"0ec91d487375c2663a43d463f9e5b4e34b8527aa",
     }
 }
 

@@ -77,10 +77,29 @@ class DDPM:
         t_key, n_key, d_key = jax.random.split(rng, 3)
         n = x_0.shape[0]
         t = self.sample_timesteps(t_key, n)
-        alpha_bar_t = _bcast(self.schedule.alpha_bar[t], x_0.ndim)
         noise = jax.random.normal(n_key, x_0.shape, x_0.dtype)
+        return self.loss_given(
+            model_fn, params, x_0, t, noise, train=train, dropout_rng=d_key
+        )
+
+    def loss_given(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        x_0: jax.Array,
+        t: jax.Array,
+        noise: jax.Array,
+        *,
+        train: bool = False,
+        dropout_rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """L_simple with *injected* t and ε — deterministic core of
+        :meth:`loss`; lets parity tests drive the exact same draw through the
+        reference torch step (tests/test_torch_parity.py)."""
+        alpha_bar_t = _bcast(self.schedule.alpha_bar[t], x_0.ndim)
         x_t = eq.ddpm.q_sample(x_0, alpha_bar_t, noise)
-        eps_hat = model_fn(params, x_t, t, train=train, rngs={"dropout": d_key})
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        eps_hat = model_fn(params, x_t, t, train=train, rngs=rngs)
         return eq.ddpm.simple_loss(noise, eps_hat.astype(x_0.dtype))
 
     # ----------------------------------------------------------------- sample

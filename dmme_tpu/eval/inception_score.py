@@ -11,7 +11,7 @@ stream Σ p(y|x), Σ p log p, and count; everything else is closed-form at
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,9 +35,13 @@ class ISStats(NamedTuple):
 
 
 class InceptionScore:
-    def __init__(self, num_classes: int = 1008):
+    """``num_classes=None`` sizes the state lazily from the first logits
+    batch — 1008 for the FID-standard Inception, 1000 for torchvision
+    (matches whatever ``make_feature_fn`` variant is in use)."""
+
+    def __init__(self, num_classes: Optional[int] = None):
         self.num_classes = num_classes
-        self.stats = ISStats.create(num_classes)
+        self.stats = ISStats.create(num_classes) if num_classes else None
         self._update = jax.jit(self._update_impl)
 
     @staticmethod
@@ -53,6 +57,9 @@ class InceptionScore:
         )
 
     def update(self, logits: jax.Array) -> None:
+        if self.stats is None:
+            self.num_classes = int(logits.shape[-1])
+            self.stats = ISStats.create(self.num_classes)
         self.stats = self._update(self.stats, logits)
 
     def compute(self) -> Tuple[float, float]:
@@ -80,4 +87,4 @@ class InceptionScore:
         return float(np.exp(kl_mean))
 
     def reset(self) -> None:
-        self.stats = ISStats.create(self.num_classes)
+        self.stats = ISStats.create(self.num_classes) if self.num_classes else None

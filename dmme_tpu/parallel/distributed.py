@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import numpy as np
 
 
 def initialize(
@@ -30,10 +31,20 @@ def initialize(
     )
 
 
-def global_batch(local_batch, mesh):
-    """Assemble a globally-sharded batch from this host's local shard."""
+def global_batch(local_batch, mesh, chunked: bool = False):
+    """Assemble a globally-sharded batch from this host's local shard.
+
+    Every process passes its ``global_batch_size/process_count`` slice (see
+    ``DataModule.train_iter(process_index=..., process_count=...)``); the
+    result is ONE global jax.Array sharded over the mesh's batch axes whose
+    addressable shards are exactly this host's data — zero cross-host data
+    movement at assembly time. ``chunked`` marks (steps, batch, …) inputs.
+    """
     from dmme_tpu.parallel.mesh import batch_sharding
 
-    return jax.make_array_from_process_local_data(
-        batch_sharding(mesh), local_batch
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            batch_sharding(mesh, chunked), np.asarray(x)
+        ),
+        local_batch,
     )

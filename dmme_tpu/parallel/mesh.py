@@ -48,8 +48,13 @@ def make_mesh(
     return Mesh(arr, ("data", "fsdp"))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over every mesh axis."""
+def batch_sharding(mesh: Mesh, chunked: bool = False) -> NamedSharding:
+    """Shard the batch axis over every mesh axis. ``chunked=True`` for
+    scan-of-steps inputs shaped (steps, batch, …): the steps axis stays
+    unsharded (it is unstacked sequentially by the scan) and the batch axis
+    — axis 1 — is the one split across devices."""
+    if chunked:
+        return NamedSharding(mesh, P(None, ("data", "fsdp")))
     return NamedSharding(mesh, P(("data", "fsdp")))
 
 

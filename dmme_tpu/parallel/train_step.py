@@ -94,6 +94,9 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     return jax.device_put(state, state_sharding(state, mesh))
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Split the leading batch axis across every mesh axis."""
-    return jax.device_put(batch, jax.tree.map(lambda _: batch_sharding(mesh), batch))
+def shard_batch(batch, mesh: Mesh, chunked: bool = False):
+    """Split the batch axis across every mesh axis (``chunked`` = the input
+    is (steps, batch, …) for a scan-of-steps program; see batch_sharding)."""
+    return jax.device_put(
+        batch, jax.tree.map(lambda _: batch_sharding(mesh, chunked), batch)
+    )

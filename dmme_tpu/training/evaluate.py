@@ -31,9 +31,13 @@ def test(
     seed: int = 1337,
     max_batches: Optional[int] = None,
     inception_weights: Optional[str] = None,
-    use_ema: bool = True,
+    use_ema: Optional[bool] = None,
     state=None,
 ) -> Dict[str, float]:
+    if use_ema is None:
+        # Reference EMA knob ``validate_original_weights`` (callbacks/
+        # ema.py:27-46): evaluate the raw weights instead of the EMA copy.
+        use_ema = not getattr(lit, "validate_original_weights", False)
     datamodule.prepare_data()
     datamodule.setup("test")
 
@@ -50,7 +54,7 @@ def test(
     from dmme_tpu.eval.inception_score import InceptionScore
 
     fid = FrechetInceptionDistance()
-    inception = InceptionScore(num_classes=1000)
+    inception = InceptionScore()  # class count follows the feature net
 
     params = state.ema_params if use_ema else state.params
     gen = jax.jit(lit.diffusion_model.generate, static_argnums=(0, 3))

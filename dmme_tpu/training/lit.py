@@ -41,12 +41,19 @@ class LitDDPM:
         grad_clip: float = 1.0,
         img_channels: int = 3,
         dtype: Any = jnp.float32,
+        ema_every_n_steps: int = 1,
+        validate_original_weights: bool = False,
     ) -> None:
         self.lr = lr
         self.warmup = warmup
         self.decay = decay
         self.grad_clip = grad_clip
         self.img_channels = img_channels
+        # Reference EMA option surface (callbacks/ema.py:27-46): cadence of
+        # the moving-average update, and whether evaluation should use the
+        # raw (original) weights instead of the EMA copy.
+        self.ema_every_n_steps = ema_every_n_steps
+        self.validate_original_weights = validate_original_weights
 
         if model is None:
             model = model_lib.ddpm.UNet(in_channels=img_channels, dtype=dtype)
@@ -73,7 +80,12 @@ class LitDDPM:
         # jit the init: unjitted tracing dispatches hundreds of tiny eager ops
         # (pathological over a remote-TPU link — ~3 min for the default UNet).
         params = jax.jit(self.model.init)(rng, x, t)
-        return TrainState.create(params, self.make_optimizer(), ema_decay=self.decay)
+        return TrainState.create(
+            params,
+            self.make_optimizer(),
+            ema_decay=self.decay,
+            ema_every_n_steps=self.ema_every_n_steps,
+        )
 
     # ------------------------------------------------------------------- loss
     def make_loss_fn(self, datamodule=None):
@@ -102,11 +114,16 @@ class LitDDPM:
         rng: jax.Array,
         img_shape: Tuple[int, ...],
         *,
-        use_ema: bool = True,
+        use_ema: Optional[bool] = None,
         history_length: Optional[int] = None,
     ):
         """Sample with the EMA weights (the reference swaps to EMA for eval —
-        callbacks/ema.py:72-94; here EMA params are read directly)."""
+        callbacks/ema.py:72-94; here EMA params are read directly).
+
+        ``use_ema=None`` resolves from ``validate_original_weights``
+        (reference EMA knob, callbacks/ema.py:27-46)."""
+        if use_ema is None:
+            use_ema = not self.validate_original_weights
         params = state.ema_params if use_ema else state.params
         return self.diffusion_model.generate(
             self.model_fn, params, rng, img_shape, history_length=history_length

@@ -61,6 +61,18 @@ def fit(
     datamodule.prepare_data()
     datamodule.setup("fit")
 
+    # Multi-host SPMD (SURVEY §2 "Parallelism & distributed communication"):
+    # every process runs this same loop; the mesh spans the global device
+    # list, each host feeds its slice of the global batch, and XLA's
+    # collectives do the rest. jax.distributed.initialize() must have been
+    # called first (dmme_tpu.parallel.initialize).
+    nproc = jax.process_count()
+    if nproc > 1 and mesh is None:
+        raise ValueError(
+            "multi-process fit() needs a mesh over the global device list "
+            "(e.g. make_mesh()); got mesh=None"
+        )
+
     rng = jax.random.PRNGKey(seed)
     init_rng, run_rng = jax.random.split(rng)
 
@@ -74,6 +86,20 @@ def fit(
 
     if mesh is not None:
         state = shard_state(state, mesh)
+
+    # batch placement: single-process = device_put with the mesh layout;
+    # multi-process = assemble a global array from per-host shards.
+    if mesh is None:
+        place_batch = None
+    elif nproc > 1:
+        from dmme_tpu.parallel.distributed import global_batch
+
+        def place_batch(b, chunked=False):
+            return global_batch(b, mesh, chunked)
+    else:
+
+        def place_batch(b, chunked=False):
+            return shard_batch(b, mesh, chunked)
 
     loss_fn = lit.make_loss_fn(datamodule)
     if accumulate_grad_batches > 1:
@@ -95,7 +121,12 @@ def fit(
     t_last = time.time()
     imgs_since = 0
 
-    it = datamodule.train_iter(seed)
+    if nproc > 1:
+        it = datamodule.train_iter(
+            seed, process_index=jax.process_index(), process_count=nproc
+        )
+    else:
+        it = datamodule.train_iter(seed)
     # resume determinism: skip the batches already consumed so step k sees
     # the same data whether or not training was interrupted (per-step rng is
     # already reproducible via fold_in(run_key, step))
@@ -105,7 +136,7 @@ def fit(
     holder = {"state": state}  # progress visible to the interrupt handler
     try:
         state, step = _train_loop(
-            lit, holder, step, max_steps, it, train_step, run_rng, mesh,
+            lit, holder, step, max_steps, it, train_step, run_rng, place_batch,
             steps_per_call, accumulate_grad_batches, log_every, ckpt,
             ckpt_every, callbacks, logger, t_last, imgs_since, loss_fn,
         )
@@ -137,13 +168,14 @@ def fit(
 
 
 def _train_loop(
-    lit, holder, step, max_steps, it, train_step, run_rng, mesh,
+    lit, holder, step, max_steps, it, train_step, run_rng, place_batch,
     steps_per_call, accumulate_grad_batches, log_every, ckpt, ckpt_every,
     callbacks, logger, t_last, imgs_since, loss_fn,
 ):
     state = holder["state"]
     while step < max_steps:
         stride = min(steps_per_call, max_steps - step)
+        chunked = steps_per_call > 1 or accumulate_grad_batches > 1
         if steps_per_call > 1:
             if stride != steps_per_call:  # tail chunk: recompile-free fallback
                 break
@@ -155,8 +187,8 @@ def _train_loop(
             if accumulate_grad_batches > 1:
                 micro = [next(it) for _ in range(accumulate_grad_batches - 1)]
                 batch = np.stack([batch] + micro)
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
+        if place_batch is not None:
+            batch = place_batch(batch, chunked)
         state, metrics = train_step(state, batch, run_rng)
         holder["state"] = state
         if steps_per_call > 1:
@@ -190,8 +222,8 @@ def _train_loop(
         single = make_train_step(loss_fn)
         while step < max_steps:
             batch = next(it)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+            if place_batch is not None:
+                batch = place_batch(batch, False)
             state, _ = single(state, batch, run_rng)
             holder["state"] = state
             step += 1

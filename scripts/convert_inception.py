@@ -1,0 +1,53 @@
+"""One-time InceptionV3 weight conversion: torch state_dict → flax .npz.
+
+Usage (on any box with the weights file; no TPU needed):
+
+    python scripts/convert_inception.py pt_inception-2015-12-05-6726825d.pth \
+        --out inception_fid.npz
+
+Accepts either pytorch-fid's FID-standard weights
+(``pt_inception-2015-12-05-6726825d.pth`` — the network behind every
+published FID number and the reference's torchmetrics metric) or
+torchvision's ``inception_v3_google-0cc3c7bd.pth``; the variant is
+auto-detected from the fc shape. BatchNorm is folded into the convs during
+conversion, so the .npz is inference-ready. Point evaluation at it:
+
+    dmme_tpu.trainer test --config cfg.yaml --trainer.inception_weights inception_fid.npz
+"""
+
+import argparse
+import os
+import sys
+
+# CPU-only: conversion must never touch the (single-holder) TPU tunnel.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+
+from dmme_tpu.eval import inception  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("weights", help="torch state_dict file (.pth/.pt)")
+    p.add_argument("--out", default=None, help="output .npz (default: <weights>.npz)")
+    args = p.parse_args(argv)
+
+    variant, n_cls = inception.detect_variant(args.weights)
+    print(f"detected variant={variant} num_classes={n_cls}", file=sys.stderr)
+
+    model = inception.InceptionV3(variant=variant, num_classes=n_cls)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3), jnp.float32)
+    )
+    params = inception.load_torch_weights(params, args.weights)
+
+    out = args.out or os.path.splitext(args.weights)[0] + ".npz"
+    inception.save_npz(params, out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

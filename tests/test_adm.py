@@ -21,6 +21,7 @@ TINY = dict(
 
 
 class TestADM:
+    @pytest.mark.slow
     def test_adm_forward_shape(self, rng):
         model = adm.ADM(image_size=16, class_conditional=False, **TINY)
         x = jnp.zeros((2, 16, 16, 3))
@@ -29,6 +30,7 @@ class TestADM:
         out = model.apply(params, x, t)
         assert out.shape == (2, 16, 16, 6)  # learn_sigma: eps || v
 
+    @pytest.mark.slow
     def test_class_conditional(self, rng):
         model = adm.ADMG(image_size=16, num_classes=10, **TINY)
         x = jnp.zeros((2, 16, 16, 3))
@@ -43,6 +45,7 @@ class TestADM:
         out2 = model.apply(params, x, t, jnp.array([1, 1], jnp.int32))
         assert not np.allclose(np.asarray(out), np.asarray(out2))
 
+    @pytest.mark.slow
     def test_admu_upsampler_channels(self, rng):
         model = adm.ADMU(image_size=16, **TINY)
         x = jnp.zeros((1, 16, 16, 6))  # noisy hi-res || upsampled lo-res
@@ -51,6 +54,7 @@ class TestADM:
         out = model.apply(params, x, t)
         assert out.shape == (1, 16, 16, 12)
 
+    @pytest.mark.slow
     def test_zero_init_output(self, rng):
         """ADM residual branches and output conv are zero-initialized: the
         fresh network's output must be exactly zero."""
@@ -85,6 +89,7 @@ class TestADM:
         out = model.apply(params, x, t)
         assert out.shape == (1, 128, 128, 6)
 
+    @pytest.mark.slow
     def test_encoder_cache_api(self, rng):
         """ADM supports the same feature-capture/reuse API as the UNet."""
         model = adm.ADM(image_size=16, class_conditional=False, **TINY)
@@ -96,6 +101,7 @@ class TestADM:
         out2 = model.apply(params, x, t, cached=cache)
         np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5)
 
+    @pytest.mark.slow
     def test_guided_sampling_with_adm(self, rng):
         """Classifier-guided DDIM over ADM — inside jit, tiny shapes."""
         from dmme_tpu.diffusion import ClassifierGuidedDDIM

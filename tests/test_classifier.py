@@ -1,5 +1,7 @@
 """Noisy-classifier training harness tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +26,7 @@ def tiny_classifier():
 
 
 class TestLitClassifier:
+    @pytest.mark.slow
     def test_loss_and_step(self, rng):
         lit = tiny_classifier()
         dm = CIFAR10(synthetic=True, synthetic_size=16, batch_size=8, with_labels=True)
@@ -37,6 +40,7 @@ class TestLitClassifier:
         # CE of 10-way random init ~ log(10)
         assert 1.0 < float(metrics["loss"]) < 4.0
 
+    @pytest.mark.slow
     def test_fit_loop_with_labels(self, rng):
         lit = tiny_classifier()
         dm = CIFAR10(synthetic=True, synthetic_size=16, batch_size=8, with_labels=True)

@@ -116,6 +116,7 @@ class TestTrainerCLI:
         main(["fit", "--config", str(cfg)])
         assert (tmp_path / "run" / "metrics.jsonl").exists()
 
+    @pytest.mark.slow
     def test_test_subcommand(self, tmp_path, capsys):
         """fit 1 step -> test: restores the checkpoint and reports FID/IS."""
         cfg = tmp_path / "cfg.yaml"

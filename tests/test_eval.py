@@ -118,8 +118,19 @@ class TestInceptionScore:
 
 
 class TestInceptionV3:
+    @pytest.mark.slow
     def test_forward_shapes(self, rng):
+        # default = FID-standard topology (1008 logits, pytorch-fid)
         model = InceptionV3()
+        x = jnp.zeros((1, 299, 299, 3))
+        params = jax.jit(model.init)(rng, x)
+        feats, logits = model.apply(params, x)
+        assert feats.shape == (1, 2048)
+        assert logits.shape == (1, 1008)
+
+    @pytest.mark.slow
+    def test_forward_shapes_torchvision_variant(self, rng):
+        model = InceptionV3(variant="torchvision")
         x = jnp.zeros((1, 299, 299, 3))
         params = jax.jit(model.init)(rng, x)
         feats, logits = model.apply(params, x)
@@ -161,6 +172,7 @@ class TestInceptionV3:
 
 
 class TestEvaluateLoop:
+    @pytest.mark.slow
     def test_end_to_end_tiny(self, rng, tmp_path):
         from dmme_tpu.data import CIFAR10
         from dmme_tpu.diffusion import DDPM

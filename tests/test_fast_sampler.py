@@ -1,5 +1,7 @@
 """Encoder-reuse fast sampler tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +23,7 @@ def make_model(rng):
 
 
 class TestUNetFeatureAPI:
+    @pytest.mark.slow
     def test_return_features_and_reuse_roundtrip(self, rng):
         model, params = make_model(rng)
         x = jax.random.normal(rng, (2, 16, 16, 3))

@@ -143,7 +143,121 @@ def _to_mutable(params):
     return jax.tree_util.tree_map(lambda x: x, params)  # dicts already mutable
 
 
+def _load_ref_dmme():
+    """Import the reference's real ``dmme.equations`` + ``dmme.diffusion_models``
+    packages from /root/reference without executing dmme/__init__.py (which
+    needs pytorch_lightning): pre-seed a bare ``dmme`` whose __path__ points
+    at the reference source, attach the common noise utils it re-exports,
+    and let normal import machinery load the torch-only subpackages."""
+    import sys
+    import types
+
+    if "dmme" in sys.modules:
+        import dmme
+
+        return dmme
+    base = "/root/reference/src/dmme"
+    dmme = types.ModuleType("dmme")
+    dmme.__path__ = [base]
+    sys.modules["dmme"] = dmme
+    spec = importlib.util.spec_from_file_location(
+        "dmme.common.noise", f"{base}/common/noise.py"
+    )
+    noise = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(noise)
+    for n in ("gaussian", "gaussian_like", "uniform_int", "pad"):
+        setattr(dmme, n, getattr(noise, n))
+    import dmme.diffusion_models  # noqa: F401  (torch-only)
+    import dmme.equations  # noqa: F401
+
+    return dmme
+
+
+def _grads_as_tree(params, net, film, heads):
+    """Map torch ``.grad``s into the flax param-tree layout by reusing the
+    weight-copy machinery on a model whose .data has been swapped for .grad."""
+    with torch.no_grad():
+        for p in net.parameters():
+            p.data = p.grad.clone() if p.grad is not None else torch.zeros_like(p)
+    import copy
+
+    shell = copy.deepcopy(jax.device_get(params))
+    return _copy_unet(shell, net, film=film, heads=heads)
+
+
+class TestTrainStepGradientParity:
+    """VERDICT r1 item 4: ONE reference DDPM training step + backward vs the
+    repo's value_and_grad with the same t/ε injected — loss AND the full
+    gradient tree must match."""
+
+    @pytest.mark.slow
+    def test_ddpm_train_step_gradients(self, rng):
+        dmme_ref = _load_ref_dmme()
+        ref_models = _load_ref("ddpm")
+
+        torch.manual_seed(0)
+        net = ref_models.UNet(**TINY, dropout=0.0, attention_depths=(2,)).eval()
+        ref_algo = dmme_ref.diffusion_models.DDPM(net, timesteps=100)
+
+        from dmme_tpu.diffusion import DDPM
+        from dmme_tpu.models import as_model_fn, ddpm as ddpm_models
+
+        model = ddpm_models.UNet(**TINY, dropout=0.0, attention_depths=(2,))
+        model_fn = as_model_fn(model)
+        algo = DDPM.create(timesteps=100)
+
+        x = jnp.zeros((2, 16, 16, 3))
+        params = model.init(rng, x, jnp.zeros((2,), jnp.int32))
+        params = _copy_unet(params, net, film=False, heads=1)
+
+        rs = np.random.RandomState(42)
+        x0 = rs.randn(2, 3, 16, 16).astype(np.float32)
+        eps = rs.randn(2, 3, 16, 16).astype(np.float32)
+        t = np.array([3, 57], np.int64)
+
+        # ---- reference step: its own equations/buffers, ε injected via
+        # x_t = q.mean + q.stddev·ε (≡ the realized q.sample() draw;
+        # noise-recovery then returns exactly ε — diffusion_models/ddpm.py:53-81)
+        eq = dmme_ref.equations
+        x0_t = torch.tensor(x0)
+        ab_t = ref_algo.alpha_bar[torch.tensor(t)]
+        q = eq.ddpm.forward_process(x0_t, ab_t)
+        x_t = q.mean + q.stddev * torch.tensor(eps)
+        pred = net(x_t, torch.tensor(t))
+        loss_t = eq.ddpm.simple_loss((x_t - q.mean) / q.stddev, pred)
+        loss_t.backward()
+
+        # ---- our step, same t/ε
+        def loss_fn(p):
+            return algo.loss_given(
+                model_fn,
+                p,
+                jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                jnp.asarray(t, jnp.int32),
+                jnp.asarray(eps.transpose(0, 2, 3, 1)),
+            )
+
+        loss_j, grads_j = jax.value_and_grad(loss_fn)(params)
+
+        np.testing.assert_allclose(
+            float(loss_j), float(loss_t.detach()), rtol=1e-4, atol=1e-6
+        )
+
+        grads_ref = _grads_as_tree(params, net, film=False, heads=1)
+        flat_j = jax.tree_util.tree_flatten_with_path(grads_j)[0]
+        flat_r = dict(jax.tree_util.tree_flatten_with_path(grads_ref)[0])
+        assert len(flat_j) == len(flat_r)
+        for path, g in flat_j:
+            want = np.asarray(flat_r[path])
+            got = np.asarray(g)
+            np.testing.assert_allclose(
+                got, want, rtol=2e-3, atol=1e-5,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+            )
+
+
 class TestDDPMUNetParity:
+    @pytest.mark.slow
     def test_forward_matches_reference(self, rng):
         ref = _load_ref("ddpm")
         torch.manual_seed(0)
@@ -165,6 +279,7 @@ class TestDDPMUNetParity:
 
 
 class TestIDDPMUNetParity:
+    @pytest.mark.slow
     def test_forward_matches_reference_batch1(self, rng):
         """Batch 1: the reference's MultiHeadAttention rearranges the fused
         batch-head axis inconsistently — "(b head)" on the way in

@@ -66,6 +66,7 @@ class TestSchedulesAndEMA:
 
 
 class TestTrainState:
+    @pytest.mark.slow
     def test_apply_gradients_updates_everything(self, rng):
         lit = tiny_lit()
         state = lit.init_state(rng, img_size=16)
@@ -115,6 +116,7 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["loss"]))
         assert int(jax.device_get(state.step)) == 1
 
+    @pytest.mark.slow
     def test_data_vs_sharded_same_loss(self, rng, devices):
         """The sharded step must compute the same math as single-device."""
         lit = tiny_lit()
@@ -166,6 +168,7 @@ class TestFitLoop:
         # metrics jsonl written
         assert os.path.exists(tmp_path / "ckpt" / "metrics.jsonl")
 
+    @pytest.mark.slow
     def test_resume_continues(self, tmp_path, rng):
         lit = tiny_lit()
         dm = CIFAR10(synthetic=True, synthetic_size=64, batch_size=8)
@@ -177,6 +180,7 @@ class TestFitLoop:
         )
         assert int(jax.device_get(state.step)) == 5
 
+    @pytest.mark.slow
     def test_resume_is_bitwise_deterministic(self, tmp_path, rng):
         """4 straight steps == 2 steps + checkpoint + resume + 2 steps:
         per-step rng folds the step counter and the data iterator is
@@ -197,6 +201,7 @@ class TestFitLoop:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_checkpoint_roundtrip_exact(self, tmp_path, rng):
         lit = tiny_lit()
         state = lit.init_state(rng, img_size=16)
@@ -211,6 +216,7 @@ class TestFitLoop:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == 1
 
+    @pytest.mark.slow
     def test_steps_per_call_chunked(self, rng, tmp_path):
         lit = tiny_lit()
         dm = CIFAR10(synthetic=True, synthetic_size=64, batch_size=8)
@@ -221,6 +227,7 @@ class TestFitLoop:
         # 2 full chunks (6 steps) + 1 tail step
         assert int(jax.device_get(state.step)) == 7
 
+    @pytest.mark.slow
     def test_grad_accumulation(self, rng):
         lit = tiny_lit()
         dm = CIFAR10(synthetic=True, synthetic_size=64, batch_size=4)
@@ -229,6 +236,7 @@ class TestFitLoop:
 
 
 class TestLitIDDPM:
+    @pytest.mark.slow
     def test_init_and_loss(self, rng):
         from dmme_tpu.models import iddpm as iddpm_models
         from dmme_tpu.diffusion import IDDPM

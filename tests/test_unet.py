@@ -59,6 +59,7 @@ class TestDDPMUNet:
         out = model.apply(params, x, t)
         assert out.shape == (2, 32, 32, 3)
 
+    @pytest.mark.slow
     def test_default_param_count(self, rng):
         model = ddpm.UNet()
         x = jnp.zeros((1, 32, 32, 3))
@@ -69,6 +70,7 @@ class TestDDPMUNet:
         # (sum(p.numel()) == 32,416,643; SURVEY.md §6's ~35.7M estimate was off).
         assert n == 32_416_643, n
 
+    @pytest.mark.slow
     def test_dropout_needs_rng_only_in_train(self, rng):
         model = ddpm.UNet(**TINY)
         x = jnp.ones((2, 32, 32, 3))
@@ -82,6 +84,7 @@ class TestDDPMUNet:
         # dropout actually fires in train mode
         assert not np.allclose(np.asarray(out_train), np.asarray(out_eval))
 
+    @pytest.mark.slow
     def test_grad_flows(self, rng):
         model = ddpm.UNet(**TINY)
         x = jnp.ones((2, 32, 32, 3))
@@ -96,6 +99,7 @@ class TestDDPMUNet:
         assert all(np.isfinite(np.asarray(leaf)).all() for leaf in flat)
         assert any(np.abs(np.asarray(leaf)).sum() > 0 for leaf in flat)
 
+    @pytest.mark.slow
     def test_bf16_compute(self, rng):
         model = ddpm.UNet(**TINY, dtype=jnp.bfloat16)
         x = jnp.zeros((2, 32, 32, 3))
@@ -106,6 +110,7 @@ class TestDDPMUNet:
         out = model.apply(params, x, t)
         assert out.dtype == jnp.bfloat16
 
+    @pytest.mark.slow
     def test_remat_matches(self, rng):
         x = jnp.ones((2, 32, 32, 3))
         t = jnp.array([1, 2], dtype=jnp.int32)
