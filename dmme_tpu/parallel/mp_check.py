@@ -1,0 +1,121 @@
+"""Multi-process SPMD self-check — "test multi-node without a cluster".
+
+Runs the REAL multi-host path end-to-end on CPU: N OS processes, each with
+its own jax runtime and ``xla_force_host_platform_device_count`` virtual
+devices, joined by ``jax.distributed.initialize`` into one global mesh;
+``fit()`` feeds each process its slice of the global batch
+(``DataModule.train_iter(process_index=...)`` → ``global_batch``) and XLA's
+collectives do the gradient reduction across process boundaries.
+
+Invariant checked: the post-fit parameters are BITWISE identical to a
+single-process run over the same global device count — multi-host is a pure
+re-layout, never a numerics change. Each worker prints a probe loss
+(fixed rng + fixed batch on its fetched params); equal probes ⇒ equal params.
+
+Used by tests/test_multiprocess.py and ``__graft_entry__.dryrun_multichip``'s
+multi-process mode. Worker entry:
+
+    python -m dmme_tpu.parallel.mp_check <pid> <nproc> <devs_per_proc> <port>
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+from typing import List
+
+
+def worker(pid: int, nproc: int, ndev: int, port: int, steps: int = 3) -> float:
+    """Body of one process. MUST run in a fresh interpreter (it configures
+    the jax platform before first use)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if nproc > 1:
+        jax.distributed.initialize(
+            f"localhost:{port}", num_processes=nproc, process_id=pid
+        )
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dmme_tpu.data import CIFAR10
+    from dmme_tpu.models import ddpm as ddpm_models
+    from dmme_tpu.parallel import make_mesh
+    from dmme_tpu.training import LitDDPM, fit
+
+    lit = LitDDPM(
+        model=ddpm_models.UNet(
+            pos_dim=4, emb_dim=8, num_groups=2,
+            channels_per_depth=(4, 8, 8, 8), num_blocks=1,
+        ),
+        timesteps=5,
+    )
+    dm = CIFAR10(
+        synthetic=True, synthetic_size=64, batch_size=16, horizontal_flip=False
+    )
+    state = fit(lit, dm, max_steps=steps, seed=0, mesh=make_mesh(), log_every=100)
+
+    # probe: fixed-rng loss on the fetched (host) params — a pure function of
+    # the trained parameter values, comparable across process layouts
+    dm.setup("fit")
+    batch = (np.asarray(dm.train_data[:16], np.float32) / 255.0) * 2 - 1
+    params = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), state.params)
+    loss = lit.make_loss_fn(None)(params, jax.random.PRNGKey(7), jnp.asarray(batch))
+    return float(jax.device_get(loss))
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def spawn(nproc: int, ndev_per_proc: int, steps: int = 3, timeout: int = 600) -> List[float]:
+    """Launch ``nproc`` fresh CPU worker processes; return their probe losses."""
+    port = free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep workers off any TPU tunnel
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={ndev_per_proc}"
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "dmme_tpu.parallel.mp_check",
+             str(pid), str(nproc), str(ndev_per_proc), str(port), str(steps)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(nproc)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"mp_check worker failed (rc={p.returncode}):\n{err[-4000:]}"
+            )
+        line = [ln for ln in out.splitlines() if ln.startswith("PROBE ")][-1]
+        results.append(float(line.split()[1]))
+    return results
+
+
+def main(argv) -> None:
+    pid, nproc, ndev, port = map(int, argv[:4])
+    steps = int(argv[4]) if len(argv) > 4 else 3
+    loss = worker(pid, nproc, ndev, port, steps)
+    print(f"PROBE {loss:.10f}", flush=True)
+    # jax.distributed + axon leave non-daemon threads; exit hard so the
+    # parent's communicate() returns promptly
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
