@@ -54,15 +54,17 @@ class GenerateImage:
         self.use_ema = use_ema
         self._gen = None
 
-    def on_train_step_end(self, step: int, lit, state) -> None:
+    def on_train_step_end(self, step: int, lit, state, logger=None) -> None:
         if step % self.every_n_steps != 0:
             return
-        self.generate_and_save(step, lit, state)
+        self.generate_and_save(step, lit, state, logger=logger)
 
-    def on_fit_end(self, lit, state) -> None:
-        self.generate_and_save(int(jax.device_get(state.step)), lit, state)
+    def on_fit_end(self, lit, state, logger=None) -> None:
+        self.generate_and_save(
+            int(jax.device_get(state.step)), lit, state, logger=logger
+        )
 
-    def generate_and_save(self, step: int, lit, state) -> str:
+    def generate_and_save(self, step: int, lit, state, logger=None) -> str:
         rng = jax.random.PRNGKey(step)
         _, history = lit.generate(
             state, rng, self.shape, use_ema=self.use_ema,
@@ -71,6 +73,10 @@ class GenerateImage:
         history = jax.device_get(history)  # (vis_length, N, H, W, C)
         frames = [history[i] for i in range(history.shape[0])]
         grid = make_history([np.asarray(denorm(f)) for f in frames])
+        if logger is not None and hasattr(logger, "log_image"):
+            # reference parity: grids go to the experiment logger too
+            # (W&B log_image / TB add_image — callbacks/generate.py:55-62)
+            logger.log_image("samples", grid, step)
         os.makedirs(self.out_dir, exist_ok=True)
         path = os.path.join(self.out_dir, f"step_{step:08d}")
         try:

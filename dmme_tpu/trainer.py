@@ -64,6 +64,11 @@ def cmd_fit(config: Dict[str, Any]) -> None:
         accumulate_grad_batches=int(tc.get("accumulate_grad_batches") or 1),
         steps_per_call=int(tc.get("steps_per_call") or 1),
         debug_nans=bool(tc.get("detect_anomaly", False)),
+        # logger backends (reference: wandb/tensorboard loggers in configs):
+        # trainer.tensorboard: true  → event files under default_root_dir/tb
+        # trainer.loggers: [{class_path: ...}] → explicit backend list
+        tensorboard=bool(tc.get("tensorboard", False)),
+        loggers=instantiate(tc.get("loggers")) if tc.get("loggers") else None,
     )
 
 

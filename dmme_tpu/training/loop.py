@@ -41,6 +41,8 @@ def fit(
     accumulate_grad_batches: int = 1,
     steps_per_call: int = 1,
     debug_nans: bool = False,
+    loggers=None,
+    tensorboard: bool = False,
 ) -> TrainState:
     """Train ``lit`` on ``datamodule`` for ``max_steps`` optimizer steps.
 
@@ -112,9 +114,9 @@ def fit(
     else:
         train_step = make_train_step(loss_fn)
 
-    logger = MetricLogger(ckpt_dir)
+    logger = MetricLogger(ckpt_dir, tensorboard=tensorboard, loggers=loggers)
     for cb in callbacks:
-        _call(cb, "on_fit_start", lit=lit, state=state)
+        _call(cb, "on_fit_start", lit=lit, state=state, logger=logger)
 
     start_step = int(jax.device_get(state.step))
     pending = None  # (step, metrics) fetched lazily
@@ -162,7 +164,7 @@ def fit(
             ckpt.save(max_steps, state, force=True)  # save_last parity
         ckpt.wait()
     for cb in callbacks:
-        _call(cb, "on_fit_end", lit=lit, state=state)
+        _call(cb, "on_fit_end", lit=lit, state=state, logger=logger)
     logger.close()
     return state
 
@@ -209,13 +211,19 @@ def _train_loop(
             t_last, imgs_since = now, 0
             logger.log(s, m)
             for cb in callbacks:
-                _call(cb, "on_log", step=s, lit=lit, state=state, metrics=m)
+                _call(
+                    cb, "on_log",
+                    step=s, lit=lit, state=state, metrics=m, logger=logger,
+                )
 
         if ckpt is not None and step % ckpt_every < stride:
             ckpt.save(step, state)
 
         for cb in callbacks:
-            _call(cb, "on_train_step_end", step=step, lit=lit, state=state)
+            _call(
+                cb, "on_train_step_end",
+                step=step, lit=lit, state=state, logger=logger,
+            )
 
     # tail steps that don't fill a chunk run one-at-a-time
     if steps_per_call > 1 and step < max_steps:
@@ -250,6 +258,19 @@ def _microbatched(loss_fn, k: int):
 
 
 def _call(cb, hook: str, **kwargs) -> None:
+    """Invoke a callback hook with only the kwargs its signature accepts —
+    lets hooks opt into extras (e.g. ``logger``) without breaking old ones."""
     fn = getattr(cb, hook, None)
-    if fn is not None:
+    if fn is None:
+        return
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
         fn(**kwargs)
+        return
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
+        fn(**kwargs)
+    else:
+        fn(**{k: v for k, v in kwargs.items() if k in params})

@@ -1,18 +1,18 @@
-"""Scalar metric logging — async-friendly host writer.
+"""Scalar/image metric logging front-end.
 
-Replaces the reference's W&B/TensorBoard logging (``self.log`` +
-WandbLogger) with a dependency-free JSONL writer + stdout echo. Metric
+``MetricLogger`` is what the fit loop talks to: it composes the pluggable
+backends in :mod:`dmme_tpu.training.loggers` (JSONL always when a log_dir is
+given; real TensorBoard event files on request — written by the in-repo
+dependency-free encoder; W&B when installed) and echoes to stderr. Metric
 arrays are fetched with ``jax.device_get`` only at log boundaries so the
 training loop never blocks on per-step transfers.
 """
 
 from __future__ import annotations
 
-import json
-import os
 import sys
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 
 class MetricLogger:
@@ -21,49 +21,43 @@ class MetricLogger:
         log_dir: Optional[str] = None,
         name: str = "metrics",
         tensorboard: bool = False,
+        loggers: Optional[Sequence[Any]] = None,
     ):
-        self._file = None
-        self._tb = None
-        if log_dir is not None:
-            os.makedirs(log_dir, exist_ok=True)
-            self._file = open(os.path.join(log_dir, f"{name}.jsonl"), "a")
-            if tensorboard:
-                try:
-                    import tensorflow as tf
+        """``loggers`` overrides the default backend choice entirely; else
+        JSONL (if log_dir) + TensorBoard (if requested) are attached."""
+        from dmme_tpu.training.loggers import (
+            JsonlLogger,
+            MultiLogger,
+            TensorBoardLogger,
+        )
 
-                    self._tb = tf.summary.create_file_writer(
-                        os.path.join(log_dir, "tb")
-                    )
-                except Exception:
-                    self._tb = None
+        if loggers is None:
+            loggers = []
+            if log_dir is not None:
+                loggers.append(JsonlLogger(log_dir, name))
+                if tensorboard:
+                    loggers.append(TensorBoardLogger(log_dir + "/tb"))
+        self._multi = MultiLogger(loggers)
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict[str, Any], echo: bool = True) -> None:
-        record = {"step": int(step), "time": round(time.time() - self._t0, 3)}
+        record = {}
         for k, v in metrics.items():
             try:
                 record[k] = float(v)
             except (TypeError, ValueError):
                 record[k] = v
-        if self._file is not None:
-            self._file.write(json.dumps(record) + "\n")
-            self._file.flush()
-        if self._tb is not None:
-            import tensorflow as tf
-
-            with self._tb.as_default():
-                for k, v in record.items():
-                    if k not in ("step", "time") and isinstance(v, float):
-                        tf.summary.scalar(k, v, step=step)
-            self._tb.flush()
+        self._multi.log_metrics(record, step)
         if echo:
             parts = " ".join(
                 f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
                 for k, v in record.items()
-                if k != "step"
             )
-            print(f"[step {step}] {parts}", file=sys.stderr)
+            print(f"[step {step}] time={time.time() - self._t0:.3f} {parts}",
+                  file=sys.stderr)
+
+    def log_image(self, tag: str, image, step: int) -> None:
+        self._multi.log_image(tag, image, step)
 
     def close(self) -> None:
-        if self._file is not None:
-            self._file.close()
+        self._multi.finalize()
