@@ -84,7 +84,9 @@ class LSUNClass:
         cache_path = os.path.join(
             os.path.dirname(os.path.abspath(root)) or ".", cache_name
         )
-        if os.path.exists(cache_path):
+        # the pickled key cache only ever holds VALIDATED key lists — an
+        # unvalidated (streaming) open must not poison later validated opens
+        if validate and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 self.keys: List[bytes] = pickle.load(f)
         else:
@@ -97,8 +99,9 @@ class LSUNClass:
                     continue
                 keys.append(k)
             self.keys = keys
-            with open(cache_path, "wb") as f:
-                pickle.dump(self.keys, f)
+            if validate:
+                with open(cache_path, "wb") as f:
+                    pickle.dump(self.keys, f)
 
     def __len__(self) -> int:
         return len(self.keys)

@@ -43,8 +43,10 @@ def test(
 
     rng = jax.random.PRNGKey(seed)
     if state is None:
-        img_size = datamodule.test_data.shape[1]
-        state = lit.init_state(rng, img_size=img_size)
+        img_size = getattr(datamodule, "img_size", None)
+        if img_size is None:
+            img_size = datamodule.test_data.shape[1]
+        state = lit.init_state(rng, img_size=int(img_size))
         if ckpt_dir is not None:
             mgr = CheckpointManager(ckpt_dir)
             if mgr.latest_step() is not None:

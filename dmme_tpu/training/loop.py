@@ -79,8 +79,10 @@ def fit(
     init_rng, run_rng = jax.random.split(rng)
 
     if state is None:
-        img_size = datamodule.train_data.shape[1]
-        state = lit.init_state(init_rng, img_size=img_size)
+        img_size = getattr(datamodule, "img_size", None)
+        if img_size is None:  # fall back to the loaded array's shape
+            img_size = datamodule.train_data.shape[1]
+        state = lit.init_state(init_rng, img_size=int(img_size))
 
     ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
     if resume and ckpt is not None and ckpt.latest_step() is not None:

@@ -106,12 +106,21 @@ def _meta_page(pgno: int, txnid: int, main_root: int, entries: int,
     return bytes(page)
 
 
+def _node_size(key: bytes, payload_len: int) -> int:
+    n = 8 + len(key) + payload_len
+    return n + (n % 2)
+
+
 def write_lmdb(path: str, kv: Dict[bytes, bytes], leaf_split: int = 0) -> None:
     """Write a valid single-tree LMDB data file.
 
-    ``leaf_split > 0`` forces a 2-level tree with that many keys per leaf.
-    Values larger than ~1KB go to overflow pages.
+    Leaves are packed by CAPACITY (auto-split into a 2-level tree when one
+    page is not enough); ``leaf_split > 0`` forces that many keys per leaf
+    instead. Values larger than ~1KB go to overflow pages.
     """
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     items = sorted(kv.items())
     pages: Dict[int, bytes] = {}
     next_pg = 2  # 0,1 are meta
@@ -134,17 +143,38 @@ def write_lmdb(path: str, kv: Dict[bytes, bytes], leaf_split: int = 0) -> None:
                 leaf_items.append((k, v, 0))
         return leaf_items
 
-    if leaf_split <= 0 or len(items) <= leaf_split:
+    # split items into leaf-page chunks
+    if leaf_split > 0:
+        chunks = [items[i : i + leaf_split] for i in range(0, len(items), leaf_split)]
+    else:
+        chunks, cur, used = [], [], 0
+        for k, v in items:
+            payload = 8 if len(v) > 1024 else len(v)
+            sz = _node_size(k, payload) + 2  # node + ptr slot
+            if cur and PAGEHDR + used + sz > PSIZE:
+                chunks.append(cur)
+                cur, used = [], 0
+            cur.append((k, v))
+            used += sz
+        if cur or not chunks:
+            chunks.append(cur)
+
+    if len(chunks) == 1:
         root = alloc()
-        pages[root] = _leaf_page(root, build_leaf_items(items))
+        pages[root] = _leaf_page(root, build_leaf_items(chunks[0]))
         depth = 1
     else:
         leaves = []
-        for i in range(0, len(items), leaf_split):
-            chunk = items[i : i + leaf_split]
+        for chunk in chunks:
             pg = alloc()
             pages[pg] = _leaf_page(pg, build_leaf_items(chunk))
             leaves.append((chunk[0][0], pg))
+        # one branch level must fit every child pointer
+        cap = sum(_node_size(k, 0) + 2 for k, _ in leaves)
+        assert PAGEHDR + cap <= PSIZE, (
+            f"fixture supports 2-level trees only ({len(leaves)} leaves too "
+            "many for one branch page — use shorter keys/fewer items)"
+        )
         root = alloc()
         children = [(b"", leaves[0][1])] + [(k, pg) for k, pg in leaves[1:]]
         pages[root] = _branch_page(root, children)

@@ -130,6 +130,189 @@ class TestLSUNDataModule:
         with pytest.raises(FileNotFoundError):
             dm.prepare_data()
 
+    def test_download_mocked(self, tmp_path, monkeypatch, capsys):
+        """aria2c download + unzip + skip-if-exists, mirroring the reference
+        (src/dmme/data_modules/lsun.py:122-145), with a mocked subprocess."""
+        import zipfile
+
+        from dmme_tpu.data import lsun as lsun_mod
+
+        # a real little LMDB to pack into the fake downloaded zip
+        src = tmp_path / "srcdb"
+        write_lmdb(str(src / "data.mdb"), {b"k0": _jpeg((5, 5, 5))})
+        calls = []
+
+        def fake_call(cmd):
+            calls.append(cmd)
+            out_path = cmd[cmd.index("-o") + 1]
+            with zipfile.ZipFile(out_path, "w") as z:
+                z.write(src / "data.mdb", "bedroom_train_lmdb/data.mdb")
+            return 0
+
+        monkeypatch.setattr(lsun_mod.subprocess, "call", fake_call)
+
+        dm = lsun_mod.LSUN(
+            data_dir=str(tmp_path / "data"), category="bedroom",
+            batch_size=1, imgsize=16, download=True,
+        )
+        dm.prepare_data()
+        assert calls and calls[0][:5] == ["aria2c", "-x", "16", "-s", "16"]
+        assert calls[0][5] == "http://dl.yf.io/lsun/scenes/bedroom_train_lmdb.zip"
+        assert os.path.exists(tmp_path / "data" / "bedroom_train_lmdb" / "data.mdb")
+
+        # second call: LMDB exists -> no download, no extract
+        dm.prepare_data()
+        assert len(calls) == 1
+
+        # extracted LMDB is readable end-to-end
+        dm.setup("fit")
+        assert next(dm.train_iter(0)).shape == (1, 16, 16, 3)
+
+    def test_download_objects_url(self, tmp_path, monkeypatch):
+        from dmme_tpu.data import lsun as lsun_mod
+
+        seen = {}
+
+        def fake_call(cmd):
+            seen["url"] = cmd[5]
+            raise RuntimeError("stop here")
+
+        monkeypatch.setattr(lsun_mod.subprocess, "call", fake_call)
+        dm = lsun_mod.LSUN(
+            data_dir=str(tmp_path), category="cat", download=True
+        )
+        with pytest.raises(RuntimeError):
+            dm.prepare_data()
+        assert seen["url"] == "http://dl.yf.io/lsun/objects/cat.zip"
+
+
+class TestLSUNStreaming:
+    def _make_db(self, tmp_path, n=12, size=(70, 50), corrupt=()):
+        kv = {
+            f"img{i:03d}".encode(): _jpeg(((i * 20) % 255, i, 0), size=size)
+            for i in range(n)
+        }
+        for k in corrupt:
+            kv[k] = b"not a jpeg"
+        write_lmdb(str(tmp_path / "bedroom_train_lmdb"), kv)
+
+    def test_streaming_shapes_and_determinism(self, tmp_path):
+        from dmme_tpu.data import LSUN as LSUNModule
+
+        self._make_db(tmp_path)
+        dm = LSUNModule(
+            data_dir=str(tmp_path), category="bedroom", batch_size=4,
+            imgsize=32, streaming=True, num_workers=2,
+        )
+        dm.setup("fit")
+        assert dm.train_data is None  # nothing materialized up front
+        it = dm.train_iter(3)
+        b1, b2 = next(it), next(it)
+        it.close()  # terminate the decode pool
+        assert b1.shape == (4, 32, 32, 3) and b1.dtype == np.uint8
+        assert not np.array_equal(b1, b2)
+
+        it = dm.train_iter(3)
+        b1_again = next(it)
+        it.close()
+        np.testing.assert_array_equal(b1, b1_again)  # same seed, same stream
+
+    def test_streaming_matches_decoded(self, tmp_path):
+        """Streaming and decode-to-cache must produce identical pixels for
+        the same indices (same PIL resize path)."""
+        from dmme_tpu.data import LSUN as LSUNModule
+
+        self._make_db(tmp_path, n=6)
+        stream = LSUNModule(
+            data_dir=str(tmp_path), category="bedroom", batch_size=6,
+            imgsize=24, streaming=True, horizontal_flip=False,
+        )
+        stream.setup("fit")
+        it = stream.test_iter()
+        got = next(it)
+        it.close()
+
+        dense = LSUNModule(
+            data_dir=str(tmp_path), category="bedroom", batch_size=6,
+            imgsize=24, streaming=False, horizontal_flip=False,
+        )
+        dense.setup("fit")
+        np.testing.assert_array_equal(got, np.asarray(dense.train_data))
+
+    def test_streaming_process_sharding(self, tmp_path):
+        from dmme_tpu.data import LSUN as LSUNModule
+
+        self._make_db(tmp_path)
+
+        def batches(pi, pc):
+            dm = LSUNModule(
+                data_dir=str(tmp_path), category="bedroom", batch_size=4,
+                imgsize=16, streaming=True,
+            )
+            dm.setup("fit")
+            it = dm.train_iter(1, process_index=pi, process_count=pc)
+            b = next(it)
+            it.close()
+            return b
+
+        full = batches(None, None)
+        lo, hi = batches(0, 2), batches(1, 2)
+        np.testing.assert_array_equal(np.concatenate([lo, hi]), full)
+
+    def test_streaming_corrupt_values_resampled(self, tmp_path):
+        from dmme_tpu.data import LSUN as LSUNModule
+
+        self._make_db(tmp_path, n=8, corrupt=(b"zz_bad1", b"zz_bad2"))
+        dm = LSUNModule(
+            data_dir=str(tmp_path), category="bedroom", batch_size=5,
+            imgsize=16, streaming=True,
+        )
+        dm.setup("fit")
+        assert dm._stream_n == 10  # corrupt keys included (no validate pass)
+        it = dm.train_iter(0)
+        for _ in range(4):  # cover >1 epoch: every batch must decode fully
+            b = next(it)
+            assert b.shape == (5, 16, 16, 3)
+        it.close()
+
+    def test_auto_mode_by_threshold(self, tmp_path):
+        from dmme_tpu.data import LSUN as LSUNModule
+
+        self._make_db(tmp_path, n=6)
+        dm = LSUNModule(
+            data_dir=str(tmp_path), category="bedroom",
+            imgsize=16, streaming=None, streaming_threshold=4,
+        )
+        dm.setup("fit")
+        assert dm._stream_ds is not None  # 6 > 4 -> streaming
+
+    @pytest.mark.slow
+    def test_streaming_through_fit(self, tmp_path):
+        """A synthetic many-image LMDB streams through the real fit() loop
+        with nothing materialized up front (VERDICT r1 item 5)."""
+        import jax
+
+        from dmme_tpu.data import LSUN as LSUNModule
+        from dmme_tpu.diffusion import DDPM
+        from dmme_tpu.models import ddpm as ddpm_models
+        from dmme_tpu.training import LitDDPM, fit
+
+        self._make_db(tmp_path, n=600, size=(40, 36))
+        dm = LSUNModule(
+            data_dir=str(tmp_path), category="bedroom", batch_size=8,
+            imgsize=32, streaming=True, num_workers=2,
+        )
+        lit = LitDDPM(
+            model=ddpm_models.UNet(
+                pos_dim=4, emb_dim=8, num_groups=2,
+                channels_per_depth=(4, 8, 8, 8), num_blocks=1,
+            ),
+            diffusion_model=DDPM.create(timesteps=5),
+        )
+        state = fit(lit, dm, max_steps=3, seed=0, log_every=10)
+        assert dm.train_data is None  # never densified
+        assert int(jax.device_get(state.step)) == 3
+
     def test_unknown_category(self):
         from dmme_tpu.data import LSUN as LSUNModule
 
