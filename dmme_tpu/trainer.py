@@ -89,6 +89,22 @@ def cmd_test(config: Dict[str, Any]) -> None:
     print(results)
 
 
+def cmd_validate(config: Dict[str, Any]) -> None:
+    """Real validation semantics (not a test alias): mean eval-mode
+    diffusion loss over the test split — cheap, no generation."""
+    from dmme_tpu.training.evaluate import validate
+
+    model, data, tc, _ = _build(config)
+    results = validate(
+        model,
+        data,
+        ckpt_dir=tc.get("default_root_dir"),
+        seed=int(config.get("seed_everything", 1337)),
+        max_batches=tc.get("limit_val_batches"),
+    )
+    print(results)
+
+
 def cmd_sample(config: Dict[str, Any]) -> None:
     """Generate a grid of samples from the latest checkpoint (extra utility —
     the reference can only sample through its test loop or callback)."""
@@ -137,10 +153,10 @@ def main(argv=None) -> None:
 
     dispatch = {
         "fit": cmd_fit,
-        "test": cmd_test,
-        "validate": cmd_test,   # LightningCLI surface parity
+        "test": cmd_test,       # FID/IS over generated samples
+        "validate": cmd_validate,  # mean eval loss, no generation
         "sample": cmd_sample,
-        "predict": cmd_sample,  # LightningCLI surface parity
+        "predict": cmd_sample,  # prediction == generation for a generative model
     }
     dispatch[args.subcommand](config)
 

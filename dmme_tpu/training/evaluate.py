@@ -23,6 +23,61 @@ from dmme_tpu.training.checkpoint import CheckpointManager
 from dmme_tpu.utils.norm import denorm
 
 
+def validate(
+    lit,
+    datamodule,
+    *,
+    ckpt_dir: Optional[str] = None,
+    seed: int = 1337,
+    max_batches: Optional[int] = None,
+    use_ema: Optional[bool] = None,
+    state=None,
+) -> Dict[str, float]:
+    """Validation loop with REAL semantics (not a test alias): the average
+    eval-mode diffusion loss over the test split — no generation, so it is
+    cheap enough to run mid-training. Lightning's `validate` analogue for a
+    model whose val metric is the denoising objective."""
+    import numpy as np
+
+    from dmme_tpu.parallel import make_eval_step
+
+    if use_ema is None:
+        use_ema = not getattr(lit, "validate_original_weights", False)
+    datamodule.prepare_data()
+    datamodule.setup("test")
+
+    rng = jax.random.PRNGKey(seed)
+    if state is None:
+        img_size = getattr(datamodule, "img_size", None)
+        if img_size is None:
+            img_size = datamodule.test_data.shape[1]
+        state = lit.init_state(rng, img_size=int(img_size))
+        if ckpt_dir is not None:
+            mgr = CheckpointManager(ckpt_dir)
+            if mgr.latest_step() is not None:
+                state = mgr.restore(state)
+
+    params = state.ema_params if use_ema else state.params
+
+    def eval_loss(p, rng_, batch):
+        x = datamodule.process(batch)
+        return lit.diffusion_model.loss(lit.model_fn, p, rng_, x, train=False)
+
+    step = make_eval_step(eval_loss)
+    losses = []
+    for i, batch in enumerate(datamodule.test_iter()):
+        if max_batches is not None and i >= max_batches:
+            break
+        losses.append(
+            float(jax.device_get(step(params, jnp.asarray(batch), jax.random.fold_in(rng, i))))
+        )
+    return {
+        "val/loss": float(np.mean(losses)) if losses else float("nan"),
+        "num_batches": len(losses),
+        "use_ema": use_ema,
+    }
+
+
 def test(
     lit,
     datamodule,
