@@ -69,6 +69,40 @@ def group_norm(num_groups: int, dtype=jnp.float32, name: Optional[str] = None):
     )
 
 
+class GNSiLU(nn.Module):
+    """GroupNorm(+pre-bias, +FiLM)+SiLU through the fused Pallas kernel
+    (dmme_tpu.ops.group_norm — fused forward AND backward; exact XLA
+    fallback off-TPU). Parameter tree is identical to ``nn.GroupNorm``
+    ({scale, bias} of shape (C,)), so checkpoints and the torch parity
+    weight-copy machinery are unaffected by the fusion switch.
+    """
+
+    num_groups: int
+    dtype: jnp.dtype = jnp.float32
+    force: Optional[str] = None  # None=auto, "xla", "pallas", "interpret"
+
+    @nn.compact
+    def __call__(self, x, pre_bias=None, film_scale=None, film_shift=None):
+        from dmme_tpu.ops.group_norm import group_norm_silu
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if film_scale is not None:
+            # GN(x)·(s+1)+shift with GN affine folded in:
+            # γ_eff = scale·(s+1), β_eff = bias·(s+1) + shift, per sample
+            fs = film_scale.astype(jnp.float32) + 1.0
+            gamma = scale[None, :] * fs
+            beta = bias[None, :] * fs + film_shift.astype(jnp.float32)
+        else:
+            gamma, beta = scale, bias
+        y = group_norm_silu(
+            x, gamma, beta, self.num_groups, GN_EPS,
+            pre_bias=pre_bias, force=self.force,
+        )
+        return y.astype(self.dtype)
+
+
 def conv3x3(features: int, stride: int = 1, dtype=jnp.float32, param_dtype=jnp.float32,
             name: Optional[str] = None):
     """3×3 conv with torch-style symmetric padding 1 (exact H/2 on stride 2)."""
@@ -185,14 +219,20 @@ class ResBlock(nn.Module):
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    #: route GN→SiLU (and the +cond / FiLM modulation around it) through the
+    #: fused Pallas kernel; OPT-IN — loses end-to-end on v5e (see unet.py)
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
         deterministic = self.deterministic
         c_in = x.shape[-1]
 
-        h = group_norm(self.num_groups, name="norm1")(x).astype(self.dtype)
-        h = nn.silu(h)
+        if self.fused_norm:
+            h = GNSiLU(self.num_groups, self.dtype, name="norm1")(x)
+        else:
+            h = group_norm(self.num_groups, name="norm1")(x).astype(self.dtype)
+            h = nn.silu(h)
         h = conv3x3(self.c_out, 1, self.dtype, self.param_dtype, name="conv1")(h)
 
         if self.film:
@@ -200,18 +240,32 @@ class ResBlock(nn.Module):
                 2 * self.c_out, dtype=self.dtype, param_dtype=self.param_dtype,
                 name="condition",
             )(emb)
-            shift, scale = jnp.split(cond[:, None, None, :], 2, axis=-1)
-            h = group_norm(self.num_groups, name="norm2")(h).astype(self.dtype)
-            h = h * (scale + 1.0) + shift
+            if self.fused_norm:
+                shift, scale = jnp.split(cond, 2, axis=-1)  # (N, C) each
+                h = GNSiLU(self.num_groups, self.dtype, name="norm2")(
+                    h, film_scale=scale, film_shift=shift
+                )
+            else:
+                shift, scale = jnp.split(cond[:, None, None, :], 2, axis=-1)
+                h = group_norm(self.num_groups, name="norm2")(h).astype(self.dtype)
+                h = h * (scale + 1.0) + shift
+                h = nn.silu(h)
         else:
             cond = nn.Dense(
                 self.c_out, dtype=self.dtype, param_dtype=self.param_dtype,
                 name="condition",
             )(emb)
-            h = h + cond[:, None, None, :]
-            h = group_norm(self.num_groups, name="norm2")(h).astype(self.dtype)
+            if self.fused_norm:
+                # GN(h + cond) + SiLU in one kernel (pre-bias folds into the
+                # group statistics analytically)
+                h = GNSiLU(self.num_groups, self.dtype, name="norm2")(
+                    h, pre_bias=cond
+                )
+            else:
+                h = h + cond[:, None, None, :]
+                h = group_norm(self.num_groups, name="norm2")(h).astype(self.dtype)
+                h = nn.silu(h)
 
-        h = nn.silu(h)
         if self.dropout > 0.0:
             h = nn.Dropout(
                 rate=self.dropout, broadcast_dims=(1, 2), deterministic=deterministic

@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from dmme_tpu.models.blocks import (
     Downsample,
+    GNSiLU,
     ResBlock,
     TimeEmbedding,
     Upsample,
@@ -115,6 +116,10 @@ class UNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    #: fused Pallas GN+SiLU path — OPT-IN: measured 46.8 vs 29.9 ms/step
+    #: end-to-end on v5e (docs/performance.md ablations; XLA fuses GN's
+    #: normalize into the consumer conv, so the standalone kernel adds passes)
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(
@@ -156,6 +161,7 @@ class UNet(nn.Module):
                 deterministic=not train,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                fused_norm=self.fused_norm,
                 name=name,
             )
 
@@ -196,8 +202,11 @@ class UNet(nn.Module):
         assert not skips, "unconsumed skip connections — topology mismatch"
 
         out_ch = self.out_channels or self.in_channels
-        h = group_norm(self.num_groups, name="out_norm")(h).astype(self.dtype)
-        h = nn.silu(h)
+        if self.fused_norm:
+            h = GNSiLU(self.num_groups, self.dtype, name="out_norm")(h)
+        else:
+            h = group_norm(self.num_groups, name="out_norm")(h).astype(self.dtype)
+            h = nn.silu(h)
         h = conv3x3(out_ch, 1, self.dtype, self.param_dtype, name="output_conv")(h)
         if return_features:
             return h, features

@@ -67,7 +67,13 @@ class LitDDPM:
     # ------------------------------------------------------------- optimizer
     def make_optimizer(self) -> optax.GradientTransformation:
         """Adam + warmup + global-norm clip 1.0 (reference recipe:
-        configs/ddpm/cifar10.yaml gradient_clip_val + lit_modules/ddpm.py:127-135)."""
+        configs/ddpm/cifar10.yaml gradient_clip_val + lit_modules/ddpm.py:127-135).
+
+        Note (measured, docs/performance.md): optax's per-leaf global-norm
+        reduces look expensive in a trace but are FREE here — XLA fuses each
+        per-leaf Σx² into that leaf's weight-gradient fusion. A single-
+        reduction ravel variant (dmme_tpu.parallel.clip_by_global_norm_fused)
+        measured 0.9 ms/step SLOWER (the concat materializes); kept opt-in."""
         return optax.chain(
             optax.clip_by_global_norm(self.grad_clip),
             optax.adam(warmup_schedule(self.lr, self.warmup)),

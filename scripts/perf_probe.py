@@ -1,0 +1,88 @@
+"""Train-step perf probe — measures ONE variant end-to-end on the real TPU.
+
+Usage:  python scripts/perf_probe.py <variant>
+Variants: base | remat | rbg | fused | bf16gn
+XLA flag experiments: set LIBTPU_INIT_ARGS / XLA_FLAGS in the env and run
+``base``. One process per run (single tunnel holder); hard-exits.
+
+Measures the SAME chunked train program the fit loop uses (round-1 lesson:
+kernels/toggles must be judged in the end-to-end chunk, not in isolation).
+"""
+
+import json
+import sys
+import time
+
+variant = sys.argv[1] if len(sys.argv) > 1 else "base"
+
+import jax
+
+if variant == "rbg":
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+import jax.numpy as jnp
+import numpy as np
+
+from dmme_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from dmme_tpu.data import CIFAR10
+from dmme_tpu.models import ddpm as ddpm_models
+from dmme_tpu.parallel import make_train_chunk
+from dmme_tpu.training import LitDDPM
+
+BATCH, CHUNK, TIMED = 128, 10, 4
+
+
+def main():
+    kw = {}
+    if variant == "remat":
+        kw["remat"] = True
+    if variant == "fused":
+        kw["fused_norm"] = True
+    model = ddpm_models.UNet(dtype=jnp.bfloat16, **kw)
+    lit = LitDDPM(model=model, dtype=jnp.bfloat16)
+    dm = CIFAR10(synthetic=True, synthetic_size=BATCH * CHUNK, batch_size=BATCH)
+    dm.setup("fit")
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    state = lit.init_state(rng, img_size=32)
+    chunk_fn = make_train_chunk(lit.make_loss_fn(dm), CHUNK)
+    it = dm.train_iter(0)
+    stacked = jnp.asarray(np.stack([next(it) for _ in range(CHUNK)]))
+
+    if variant.startswith("opt:"):
+        # per-compile XLA/libtpu options travel through PJRT compile options
+        # (the only channel that reaches the remote compile service)
+        opts = dict(kv.split("=", 1) for kv in variant[4:].split(","))
+        print(f"# compiler_options={opts}", file=sys.stderr)
+        chunk_fn = (
+            chunk_fn.lower(state, stacked, rng).compile(compiler_options=opts)
+        )
+
+    state, metrics = chunk_fn(state, stacked, rng)
+    loss = float(jax.device_get(metrics["loss"])[-1])
+    print(f"# compile {time.perf_counter()-t0:.1f}s loss={loss:.4f}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED):
+        state, metrics = chunk_fn(state, stacked, rng)
+    last = float(jax.device_get(metrics["loss"])[-1])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "variant": variant,
+        "train_step_ms": round(1000 * dt / (CHUNK * TIMED), 2),
+        "imgs_per_sec": round(BATCH * CHUNK * TIMED / dt, 1),
+        "loss": round(last, 4),
+    }))
+
+
+if __name__ == "__main__":
+    import os
+
+    main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -106,19 +106,90 @@ class TestGroupNormSiLU:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
     def test_custom_vjp_matches_xla_grads(self, rng):
-        from dmme_tpu.ops.group_norm import _gn_silu_xla, _fused_bwd
+        """jax.grad through the fused (interpret-mode Pallas fwd+bwd) path
+        must equal autodiff of the exact XLA composition — for x, gamma,
+        beta AND the pre-bias input."""
+        from dmme_tpu.ops.group_norm import group_norm_silu
 
         x = jax.random.normal(rng, (2, 4, 4, 16))
-        gamma = jnp.broadcast_to(jnp.ones((16,)), (2, 16))
-        beta = jnp.zeros((2, 16))
+        gamma = jnp.ones((2, 16)) + 0.1 * jax.random.normal(jax.random.fold_in(rng, 1), (2, 16))
+        beta = 0.1 * jax.random.normal(jax.random.fold_in(rng, 2), (2, 16))
+        bias = 0.2 * jax.random.normal(jax.random.fold_in(rng, 3), (2, 16))
 
-        def loss(args):
-            return jnp.sum(jnp.sin(_gn_silu_xla(*args, 4, 1e-5)))
+        def loss(force):
+            def f(args):
+                xx, gg, bb, cc = args
+                return jnp.sum(jnp.sin(group_norm_silu(
+                    xx, gg, bb, 4, pre_bias=cc, force=force)))
+            return f
 
-        gx, gg, gb = jax.grad(loss)((x, gamma, beta))
-        out = _gn_silu_xla(x, gamma, beta, 4, 1e-5)
-        cot = jnp.cos(out)
-        dx, dgamma, dbeta = _fused_bwd(4, 1e-5, 2, (x, gamma, beta), cot)
-        np.testing.assert_allclose(np.asarray(dx), np.asarray(gx), rtol=2e-3, atol=2e-4)
-        np.testing.assert_allclose(np.asarray(dgamma), np.asarray(gg), rtol=2e-3, atol=2e-4)
-        np.testing.assert_allclose(np.asarray(dbeta), np.asarray(gb), rtol=2e-3, atol=2e-4)
+        want = jax.grad(loss("xla"))((x, gamma, beta, bias))
+        got = jax.grad(loss("interpret"))((x, gamma, beta, bias))
+        for w, g, name in zip(want, got, ("dx", "dgamma", "dbeta", "dbias")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4, err_msg=name
+            )
+
+    def test_shared_gamma_grad_reduces_over_batch(self, rng):
+        """(C,)-shaped affine params: the batch reduction of dgamma happens
+        in the broadcast transpose — fused and XLA paths must agree."""
+        from dmme_tpu.ops.group_norm import group_norm_silu
+
+        x = jax.random.normal(rng, (4, 4, 4, 16))
+        gamma = jnp.ones((16,))
+        beta = jnp.zeros((16,))
+
+        def loss(force):
+            def f(args):
+                gg, bb = args
+                return jnp.sum(jnp.cos(group_norm_silu(x, gg, bb, 4, force=force)))
+            return f
+
+        want = jax.grad(loss("xla"))((gamma, beta))
+        got = jax.grad(loss("interpret"))((gamma, beta))
+        for w, g in zip(want, got):
+            assert g.shape == w.shape
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4)
+
+    def test_pre_bias_matches_explicit_add(self, rng):
+        """GN(x + bias_c) via the analytic sum-shift == explicit add."""
+        from dmme_tpu.ops.group_norm import group_norm_silu
+
+        x = jax.random.normal(rng, (2, 4, 4, 16))
+        bias = jax.random.normal(jax.random.fold_in(rng, 5), (2, 16))
+        explicit = x + bias[:, None, None, :].astype(x.dtype)
+        ref = self._ref(explicit, jnp.ones((16,)), jnp.zeros((16,)), 4)
+        got = group_norm_silu(
+            x, jnp.ones((16,)), jnp.zeros((16,)), 4, pre_bias=bias,
+            force="interpret",
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+    def test_resblock_fused_matches_unfused(self, rng):
+        """ResBlock(fused_norm=True) on CPU (XLA fallback) == the legacy
+        unfused composition, forward and gradients, both conditioning modes."""
+        from dmme_tpu.models.blocks import ResBlock
+
+        for film in (False, True):
+            block = lambda fused: ResBlock(
+                c_out=16, num_groups=4, dropout=0.0, film=film,
+                fused_norm=fused,
+            )
+            x = jax.random.normal(rng, (2, 8, 8, 16))
+            emb = jax.random.normal(jax.random.fold_in(rng, 1), (2, 12))
+            params = block(True).init(rng, x, emb)
+            # identical param tree => same init works for both
+            outs, grads = [], []
+            for fused in (True, False):
+                def loss(p):
+                    return jnp.sum(jnp.sin(block(fused).apply(p, x, emb)))
+                l, g = jax.value_and_grad(loss)(params)
+                outs.append(l)
+                grads.append(g)
+            np.testing.assert_allclose(float(outs[0]), float(outs[1]), rtol=1e-5)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+                ),
+                grads[0], grads[1],
+            )
