@@ -93,7 +93,24 @@ class FrechetInceptionDistance:
         self.reset_real_features = reset_real_features
         self.real = FeatureStats.create(dim)
         self.fake = FeatureStats.create(dim)
+        self._real_override: "Tuple[np.ndarray, np.ndarray] | None" = None
         self._update = jax.jit(lambda s, f: s.update(f))
+
+    # ------------------------------------------------- precomputed real stats
+    def save_real_stats(self, path: str) -> None:
+        """Persist the real distribution's (μ, Σ) in the pytorch-fid ``.npz``
+        convention (keys ``mu``/``sigma``) so later runs skip the real pass."""
+        mu, cov = self.real.moments()
+        np.savez(path, mu=mu, sigma=cov)
+
+    def load_real_stats(self, path: str) -> None:
+        """Use precomputed real (μ, Σ) — accepts pytorch-fid stats files
+        (e.g. the published fid_stats_cifar10_train.npz) or our own saves."""
+        d = np.load(path)
+        self._real_override = (
+            np.asarray(d["mu"], np.float64),
+            np.asarray(d["sigma"], np.float64),
+        )
 
     def update(self, feats: jax.Array, real: bool) -> None:
         if real:
@@ -107,7 +124,10 @@ class FrechetInceptionDistance:
         self.fake = jax.lax.psum(self.fake, axis_name)
 
     def compute(self) -> float:
-        mu_r, cov_r = self.real.moments()
+        if self._real_override is not None:
+            mu_r, cov_r = self._real_override
+        else:
+            mu_r, cov_r = self.real.moments()
         mu_f, cov_f = self.fake.moments()
         return frechet_distance(mu_r, cov_r, mu_f, cov_f)
 

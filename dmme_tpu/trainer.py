@@ -85,6 +85,9 @@ def cmd_test(config: Dict[str, Any]) -> None:
         # FID-standard InceptionV3 weights (.pth or converted .npz); see
         # scripts/convert_inception.py and docs/evaluation.md.
         inception_weights=tc.get("inception_weights"),
+        mesh=_make_mesh(tc.get("mesh")),  # shard generation across devices
+        fid_stats=tc.get("fid_stats"),            # precomputed real (μ,Σ) npz
+        save_fid_stats=tc.get("save_fid_stats"),  # persist this run's real stats
     )
     print(results)
 

@@ -88,7 +88,19 @@ def test(
     inception_weights: Optional[str] = None,
     use_ema: Optional[bool] = None,
     state=None,
+    mesh=None,
+    fid_stats: Optional[str] = None,
+    save_fid_stats: Optional[str] = None,
 ) -> Dict[str, float]:
+    """FID/IS evaluation. With ``mesh`` set, generation and feature
+    extraction shard over the device mesh (params replicated, batch split) —
+    the full-T reverse scan is the dominant cost and parallelizes linearly;
+    the streaming FID/IS statistics are batch-order invariant so values are
+    unchanged (tested vs single-device).
+
+    ``fid_stats``: precomputed real-distribution (μ, Σ) ``.npz`` in the
+    pytorch-fid convention — skips the real feature pass entirely.
+    ``save_fid_stats``: write this run's real stats for reuse."""
     if use_ema is None:
         # Reference EMA knob ``validate_original_weights`` (callbacks/
         # ema.py:27-46): evaluate the raw weights instead of the EMA copy.
@@ -112,17 +124,38 @@ def test(
 
     fid = FrechetInceptionDistance()
     inception = InceptionScore()  # class count follows the feature net
+    if fid_stats is not None:
+        fid.load_real_stats(fid_stats)
 
     params = state.ema_params if use_ema else state.params
-    gen = jax.jit(lit.diffusion_model.generate, static_argnums=(0, 3))
+
+    place = None
+    if mesh is not None:
+        from dmme_tpu.parallel.mesh import batch_sharding, replicated
+
+        params = jax.device_put(params, replicated(mesh))
+        bs = batch_sharding(mesh)
+        gen = jax.jit(
+            lit.diffusion_model.generate,
+            static_argnums=(0, 3),
+            out_shardings=bs,  # SPMD partitions the whole reverse scan
+        )
+
+        def place(x):
+            return jax.device_put(x, bs)
+    else:
+        gen = jax.jit(lit.diffusion_model.generate, static_argnums=(0, 3))
 
     n_batches = 0
     for i, batch in enumerate(datamodule.test_iter()):
         if max_batches is not None and i >= max_batches:
             break
         real = jnp.asarray(batch).astype(jnp.float32) / 255.0  # [0,1]
-        feats, _ = feature_fn(real)
-        fid.update(feats, real=True)
+        if place is not None:
+            real = place(real)
+        if fid_stats is None:  # precomputed stats skip the real pass
+            feats, _ = feature_fn(real)
+            fid.update(feats, real=True)
 
         fake = gen(
             lit.model_fn, params, jax.random.fold_in(rng, i), real.shape
@@ -133,6 +166,8 @@ def test(
         inception.update(logits)
         n_batches += 1
 
+    if save_fid_stats is not None and fid_stats is None:
+        fid.save_real_stats(save_fid_stats)
     kl_mean, kl_std = inception.compute()
     results = {
         "fid": fid.compute(),

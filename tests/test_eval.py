@@ -72,6 +72,27 @@ class TestFrechet:
         got = frechet_distance(mu1, c1, mu2, c2)
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
+    def test_precomputed_real_stats_roundtrip(self, tmp_path):
+        """save_real_stats -> load_real_stats must reproduce the streaming
+        FID exactly (pytorch-fid mu/sigma npz convention)."""
+        rs = np.random.RandomState(9)
+        real = rs.randn(200, 8).astype(np.float32)
+        fake = rs.randn(200, 8).astype(np.float32) + 1.0
+
+        a = FrechetInceptionDistance(dim=8)
+        a.update(jnp.asarray(real), real=True)
+        a.update(jnp.asarray(fake), real=False)
+        want = a.compute()
+        path = str(tmp_path / "stats.npz")
+        a.save_real_stats(path)
+
+        b = FrechetInceptionDistance(dim=8)
+        b.load_real_stats(path)
+        b.update(jnp.asarray(fake), real=False)
+        np.testing.assert_allclose(b.compute(), want, rtol=1e-10)
+        d = np.load(path)
+        assert set(d.files) >= {"mu", "sigma"}  # pytorch-fid convention
+
     def test_fid_metric_end_to_end(self):
         rs = np.random.RandomState(4)
         fid = FrechetInceptionDistance(dim=8)
@@ -192,3 +213,34 @@ class TestEvaluateLoop:
         assert np.isfinite(results["fid"])
         assert np.isfinite(results["inception_score"])
         assert "warning" in results  # random inception weights
+
+    @pytest.mark.slow
+    def test_sharded_eval_matches_single_device(self, rng, tmp_path):
+        """test(mesh=8-device) must produce the same FID/IS as single-device
+        (same seed; SPMD partitioning is a pure re-layout). Also covers the
+        fid_stats save/skip path end-to-end."""
+        from dmme_tpu.data import CIFAR10
+        from dmme_tpu.diffusion import DDPM
+        from dmme_tpu.models import ddpm as ddpm_models
+        from dmme_tpu.parallel import make_mesh
+        from dmme_tpu.training import LitDDPM
+        from dmme_tpu.training.evaluate import test as run_test
+
+        lit = LitDDPM(
+            model=ddpm_models.UNet(
+                pos_dim=4, emb_dim=8, num_groups=2,
+                channels_per_depth=(4, 8, 8, 8), num_blocks=1,
+            ),
+            diffusion_model=DDPM.create(timesteps=4),
+        )
+        dm = CIFAR10(synthetic=True, synthetic_size=16, batch_size=8)
+        stats = str(tmp_path / "real.npz")
+        single = run_test(lit, dm, seed=0, max_batches=1, save_fid_stats=stats)
+        sharded = run_test(lit, dm, seed=0, max_batches=1, mesh=make_mesh())
+        np.testing.assert_allclose(sharded["fid"], single["fid"], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            sharded["inception_score"], single["inception_score"], rtol=1e-3
+        )
+        # precomputed-stats path reproduces the same FID
+        from_stats = run_test(lit, dm, seed=0, max_batches=1, fid_stats=stats)
+        np.testing.assert_allclose(from_stats["fid"], single["fid"], rtol=1e-6)
