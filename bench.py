@@ -108,6 +108,12 @@ def main():
                 "baseline_derivation": "DDPM CIFAR-10 batch 128 fp16 AMP, "
                 "32.4M UNet, ~1.5-2 it/s on a single modern GPU (unpublished "
                 "by reference; see BASELINE.md 'must be measured')",
+                # MEASURED anchor (no GPU in this environment): the
+                # reference's own torch training step on this host's CPU
+                # (scripts/measure_reference_cpu.py, batch 16 x 3) — the only
+                # same-environment baseline that exists.
+                "reference_measured_cpu_imgs_per_sec": 3.1,
+                "vs_reference_measured_cpu": round(train_ips / 3.1, 1),
                 "ddim50_sample_imgs_per_sec_chip": round(sample_ips, 2),
                 "ddim50_encoder_cached_imgs_per_sec_chip": round(fast_ips, 2),
                 "train_step_ms": round(1000 * dt / (CHUNK * CHUNKS_TIMED), 2),
