@@ -89,18 +89,35 @@ class IDDPM(DDPM):
         t_key, n_key, d_key = jax.random.split(rng, 3)
         n = x_0.shape[0]
         t = self.sample_timesteps(t_key, n)
+        noise = jax.random.normal(n_key, x_0.shape, x_0.dtype)
+        return self.loss_given(
+            model_fn, params, x_0, t, noise, train=train, dropout_rng=d_key
+        )
 
+    def loss_given(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        x_0: jax.Array,
+        t: jax.Array,
+        noise: jax.Array,
+        *,
+        train: bool = False,
+        dropout_rng=None,
+    ) -> jax.Array:
+        """Objective with *injected* t and ε — deterministic core of
+        :meth:`loss` for parity tests (tests/test_torch_parity.py)."""
         beta_t = _bcast(self.schedule.beta[t], x_0.ndim)
         alpha_t = _bcast(self.schedule.alpha[t], x_0.ndim)
         ab_t = _bcast(self.schedule.alpha_bar[t], x_0.ndim)
         ab_prev = _bcast(self.schedule.alpha_bar[t - 1], x_0.ndim)
 
-        noise = jax.random.normal(n_key, x_0.shape, x_0.dtype)
         x_t = eq.ddpm.q_sample(x_0, ab_t, noise)
 
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
         out = self.forward_model(
             model_fn, params, x_t, t, beta_t, ab_t, ab_prev,
-            train=train, rngs={"dropout": d_key},
+            train=train, rngs=rngs,
         )
 
         if self.loss_type == "simple":

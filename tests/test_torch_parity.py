@@ -256,6 +256,97 @@ class TestTrainStepGradientParity:
             )
 
 
+    @pytest.mark.slow
+    def test_iddpm_hybrid_train_step_gradients(self, rng):
+        """IDDPM hybrid loss (L_simple + γ·L_vlb with stop-grad and the
+        t==1 NLL branch) + backward vs the reference — batch 1 (the
+        reference MHA scrambles batch>1; PARITY.md deviation 6)."""
+        dmme_ref = _load_ref_dmme()
+        ref_models = _load_ref("iddpm")
+
+        torch.manual_seed(2)
+        net = ref_models.UNet(**TINY, dropout=0.0, attention_depths=(2, 3)).eval()
+        ref_algo = dmme_ref.diffusion_models.IDDPM(net, timesteps=100)
+
+        from dmme_tpu.diffusion import IDDPM
+        from dmme_tpu.models import as_model_fn, iddpm as iddpm_models
+
+        model = iddpm_models.UNet(
+            **TINY, dropout=0.0, attention_depths=(2, 3), num_heads=4
+        )
+        model_fn = as_model_fn(model)
+        algo = IDDPM.create(timesteps=100)
+
+        x = jnp.zeros((1, 16, 16, 3))
+        params = model.init(rng, x, jnp.zeros((1,), jnp.int32))
+        params = _copy_unet(params, net, film=True, heads=4)
+
+        rs = np.random.RandomState(7)
+        x0 = rs.randn(1, 3, 16, 16).astype(np.float32)
+        eps = rs.randn(1, 3, 16, 16).astype(np.float32)
+
+        import copy
+
+        pristine = copy.deepcopy(net.state_dict())
+
+        # t == 1 (discretized-NLL branch) is deliberately NOT compared here:
+        # with random weights the interpolated variance is ~1e-8, so the
+        # per-pixel NLL sits on a knife edge between the 1e-12 clamp and the
+        # live region — f32 reassociation differences between torch and XLA
+        # flip pixels across it (measured Δvlb ≈ 1.5). The NLL math itself is
+        # golden-tested with controlled inputs in
+        # test_equations.py::test_discrete_nll_matches_torch_distributions.
+        for t_val in (7, 57):
+            # restore weights (the previous iteration's _grads_as_tree
+            # swapped .data for .grad) and clear grads
+            net.load_state_dict(pristine)
+            net.zero_grad(set_to_none=True)
+            t = np.array([t_val], np.int64)
+
+            # reference hybrid step with ε injected (≡ the realized draw)
+            eq = dmme_ref.equations
+            x0_t = torch.tensor(x0)
+            tt = torch.tensor(t)
+            ab_t = ref_algo.alpha_bar[tt]
+            q = eq.ddpm.forward_process(x0_t, ab_t)
+            x_t = q.mean + q.stddev * torch.tensor(eps)
+            out = ref_algo.forward_model(
+                x_t, tt, ref_algo.beta[tt], ab_t, ref_algo.alpha_bar[tt - 1]
+            )
+            vlb = eq.iddpm.loss_vlb(
+                out.noise, out.variance, x_t, tt, x0_t,
+                ref_algo.beta[tt], ref_algo.alpha[tt], ab_t,
+                ref_algo.alpha_bar[tt - 1],
+            )
+            simple = eq.ddpm.simple_loss((x_t - q.mean) / q.stddev, out.noise)
+            loss_t = simple + ref_algo.gamma * vlb
+            loss_t.backward()
+
+            def loss_fn(p):
+                return algo.loss_given(
+                    model_fn, p,
+                    jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                    jnp.asarray(t, jnp.int32),
+                    jnp.asarray(eps.transpose(0, 2, 3, 1)),
+                )
+
+            loss_j, grads_j = jax.value_and_grad(loss_fn)(params)
+            np.testing.assert_allclose(
+                float(loss_j), float(loss_t.detach()), rtol=1e-4, atol=1e-6,
+                err_msg=f"loss mismatch at t={t_val}",
+            )
+
+            grads_ref = _grads_as_tree(params, net, film=True, heads=4)
+            flat_j = jax.tree_util.tree_flatten_with_path(grads_j)[0]
+            flat_r = dict(jax.tree_util.tree_flatten_with_path(grads_ref)[0])
+            for path, g in flat_j:
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(flat_r[path]),
+                    rtol=2e-3, atol=2e-5,
+                    err_msg=f"t={t_val} grad mismatch at {jax.tree_util.keystr(path)}",
+                )
+
+
 class TestDDPMUNetParity:
     @pytest.mark.slow
     def test_forward_matches_reference(self, rng):
