@@ -39,6 +39,10 @@ def _from_planes(flat: np.ndarray) -> np.ndarray:
 class CIFAR10(DataModule):
     img_size = 32
 
+    #: canonical python-version archive (torchvision's URL and md5)
+    URL = "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz"
+    MD5 = "c58f30108f718f92721af3b95e74349a"
+
     def __init__(
         self,
         data_dir: str = ".",
@@ -47,6 +51,7 @@ class CIFAR10(DataModule):
         synthetic: bool = False,
         synthetic_size: int = 50_000,
         with_labels: bool = False,
+        download: bool = False,
     ):
         super().__init__(batch_size)
         self.data_dir = data_dir
@@ -54,6 +59,34 @@ class CIFAR10(DataModule):
         self.synthetic = synthetic
         self.synthetic_size = synthetic_size
         self.with_labels = with_labels
+        self.download = download
+
+    def prepare_data(self) -> None:
+        """Download+extract the python-version archive when asked (the
+        reference's ``prepare_data`` downloads via torchvision —
+        src/dmme/data_modules/cifar10.py:36-37). Skip-if-exists; md5-checked.
+        NOTE: this build environment has no egress — opt-in only."""
+        if self.synthetic or not self.download:
+            return
+        if os.path.isdir(os.path.join(self.data_dir, "cifar-10-batches-py")):
+            return
+        import hashlib
+        import tarfile
+        import urllib.request
+
+        os.makedirs(self.data_dir, exist_ok=True)
+        archive = os.path.join(self.data_dir, "cifar-10-python.tar.gz")
+        if not os.path.exists(archive):
+            print(f"Downloading {self.URL}...")
+            urllib.request.urlretrieve(self.URL, archive)
+        with open(archive, "rb") as f:
+            digest = hashlib.md5(f.read()).hexdigest()
+        if digest != self.MD5:
+            raise RuntimeError(
+                f"CIFAR-10 archive md5 mismatch: {digest} != {self.MD5}"
+            )
+        with tarfile.open(archive, "r:gz") as tar:
+            tar.extractall(self.data_dir, filter="data")  # no links/devices
 
     # ----------------------------------------------------------------- loading
     def _load(self):
