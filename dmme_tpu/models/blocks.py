@@ -222,11 +222,23 @@ class ResBlock(nn.Module):
     #: route GN→SiLU (and the +cond / FiLM modulation around it) through the
     #: fused Pallas kernel; OPT-IN — loses end-to-end on v5e (see unet.py)
     fused_norm: bool = False
+    #: mega-fused ResBlock forward (GN+conv+cond+GN+conv+residual in ONE
+    #: Pallas kernel) — inference only; ignored when not deterministic
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
         deterministic = self.deterministic
         c_in = x.shape[-1]
+
+        if self.fused_block and deterministic:
+            h = self._fused_block(x, emb)
+            if self.with_attention:
+                h = SelfAttention2d(
+                    self.c_out, self.num_groups, self.num_heads,
+                    self.dtype, self.param_dtype, name="attention",
+                )(h)
+            return h
 
         if self.fused_norm:
             h = GNSiLU(self.num_groups, self.dtype, name="norm1")(x)
@@ -286,3 +298,64 @@ class ResBlock(nn.Module):
                 name="attention",
             )(h)
         return h
+
+    def _fused_block(self, x: jax.Array, emb: jax.Array) -> jax.Array:
+        """Inference-only mega-fused path (dmme_tpu.ops.resblock): the whole
+        GN→conv→cond→GN→conv→residual chain runs as one Pallas kernel.
+
+        Parameters stay owned by the SAME submodules as the standard path —
+        they are declared via cheap 1×1-spatial dummy calls (dead compute,
+        eliminated by XLA) and read through ``child.variables``, so the
+        param tree, checkpoints, and init are identical either way."""
+        from dmme_tpu.ops.resblock import resblock_forward
+
+        c_in = x.shape[-1]
+        n = x.shape[0]
+        gn1 = group_norm(self.num_groups, name="norm1")
+        conv1m = conv3x3(self.c_out, 1, self.dtype, self.param_dtype, name="conv1")
+        condm = nn.Dense(
+            (2 if self.film else 1) * self.c_out,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="condition",
+        )
+        gn2 = group_norm(self.num_groups, name="norm2")
+        conv2m = conv3x3(self.c_out, 1, self.dtype, self.param_dtype, name="conv2")
+        resm = (
+            conv1x1(self.c_out, self.dtype, self.param_dtype, name="residual")
+            if c_in != self.c_out
+            else None
+        )
+
+        # declare params (results unused → DCE'd); same module names/shapes
+        dummy = x[:1, :1, :1, :]
+        d = conv1m(gn1(dummy).astype(self.dtype))
+        d = conv2m(gn2(d).astype(self.dtype))
+        if resm is not None:
+            resm(dummy)
+        cond = condm(emb)  # real compute: (N, C) or (N, 2C)
+
+        def p(m, k):
+            return m.variables["params"][k]
+
+        g1 = jnp.broadcast_to(p(gn1, "scale")[None], (n, c_in)).astype(jnp.float32)
+        b1v = jnp.broadcast_to(p(gn1, "bias")[None], (n, c_in)).astype(jnp.float32)
+        if self.film:
+            shift, scale = jnp.split(cond.astype(jnp.float32), 2, axis=-1)
+            fs = scale + 1.0
+            g2 = p(gn2, "scale")[None] * fs
+            b2v = p(gn2, "bias")[None] * fs + shift
+            pre2 = jnp.zeros_like(g2)
+        else:
+            pre2 = cond.astype(jnp.float32)
+            g2 = jnp.broadcast_to(p(gn2, "scale")[None], (n, self.c_out)).astype(jnp.float32)
+            b2v = jnp.broadcast_to(p(gn2, "bias")[None], (n, self.c_out)).astype(jnp.float32)
+
+        return resblock_forward(
+            x.astype(self.dtype),
+            g1, b1v, pre2, g2, b2v,
+            p(conv1m, "kernel"), p(conv1m, "bias"),
+            p(conv2m, "kernel"), p(conv2m, "bias"),
+            wr=None if resm is None else p(resm, "kernel"),
+            br=None if resm is None else p(resm, "bias"),
+            num_groups=self.num_groups,
+            eps=GN_EPS,
+        )

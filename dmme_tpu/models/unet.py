@@ -120,6 +120,9 @@ class UNet(nn.Module):
     #: end-to-end on v5e (docs/performance.md ablations; XLA fuses GN's
     #: normalize into the consumer conv, so the standalone kernel adds passes)
     fused_norm: bool = False
+    #: mega-fused ResBlock forward (one Pallas kernel per block) for
+    #: inference/sampling; ignored while training (see ops/resblock.py)
+    fused_block: bool = False
 
     @nn.compact
     def __call__(
@@ -162,6 +165,7 @@ class UNet(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 fused_norm=self.fused_norm,
+                fused_block=self.fused_block,
                 name=name,
             )
 

@@ -1,9 +1,9 @@
 """Train-step perf probe — measures ONE variant end-to-end on the real TPU.
 
 Usage:  python scripts/perf_probe.py <variant>
-Variants: base | remat | rbg | fused | bf16gn
-XLA flag experiments: set LIBTPU_INIT_ARGS / XLA_FLAGS in the env and run
-``base``. One process per run (single tunnel holder); hard-exits.
+Train variants: base | remat | rbg | fused | opt:<k=v,...> (PJRT compiler opts)
+Sampler variants: sample | sample_block (mega-fused ResBlock fwd kernel)
+One process per run (single tunnel holder); hard-exits.
 
 Measures the SAME chunked train program the fit loop uses (round-1 lesson:
 kernels/toggles must be judged in the end-to-end chunk, not in isolation).
@@ -35,7 +35,42 @@ from dmme_tpu.training import LitDDPM
 BATCH, CHUNK, TIMED = 128, 10, 4
 
 
+def sample_main():
+    """DDIM-50 sampler throughput, batch 128 (the bench.py sampling leg)."""
+    from dmme_tpu.diffusion import DDIM
+    from dmme_tpu.models import as_model_fn
+
+    kw = {"fused_block": True} if variant == "sample_block" else {}
+    model = ddpm_models.UNet(dtype=jnp.bfloat16, **kw)
+    lit = LitDDPM(model=model, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    state = lit.init_state(rng, img_size=32)
+    algo = DDIM.create(timesteps=1000, sub_timesteps=50)
+    model_fn = as_model_fn(model)
+    gen = jax.jit(algo.generate, static_argnums=(0, 3))
+    params = state.ema_params
+    out = gen(model_fn, params, jax.random.PRNGKey(1), (BATCH, 32, 32, 3))
+    s0 = float(jnp.sum(out))
+    print(f"# compile {time.perf_counter()-t0:.1f}s sum={s0:.3f}", file=sys.stderr)
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        out = gen(model_fn, params, jax.random.PRNGKey(i), (BATCH, 32, 32, 3))
+    s1 = float(jnp.sum(out))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "variant": variant,
+        "ddim50_imgs_per_sec": round(BATCH * reps / dt, 1),
+        "ms_per_50steps": round(1000 * dt / reps, 1),
+        "out_sum": round(s1, 3),
+    }))
+
+
 def main():
+    if variant.startswith("sample"):
+        sample_main()
+        return
     kw = {}
     if variant == "remat":
         kw["remat"] = True

@@ -193,3 +193,75 @@ class TestGroupNormSiLU:
                 ),
                 grads[0], grads[1],
             )
+
+
+class TestFusedResBlock:
+    """Mega-fused ResBlock forward kernel (ops/resblock.py)."""
+
+    def _args(self, rng, cin, cout, n=3, h=8, w=8, groups=4):
+        ks = jax.random.split(rng, 12)
+        x = jax.random.normal(ks[0], (n, h, w, cin))
+        g1 = 1 + 0.1 * jax.random.normal(ks[1], (n, cin))
+        b1v = 0.1 * jax.random.normal(ks[2], (n, cin))
+        pre2 = 0.3 * jax.random.normal(ks[3], (n, cout))
+        g2 = 1 + 0.1 * jax.random.normal(ks[4], (n, cout))
+        b2v = 0.1 * jax.random.normal(ks[5], (n, cout))
+        w1 = 0.1 * jax.random.normal(ks[6], (3, 3, cin, cout))
+        b1 = 0.1 * jax.random.normal(ks[7], (cout,))
+        w2 = 0.1 * jax.random.normal(ks[8], (3, 3, cout, cout))
+        b2 = 0.1 * jax.random.normal(ks[9], (cout,))
+        wr = 0.1 * jax.random.normal(ks[10], (1, 1, cin, cout)) if cin != cout else None
+        br = 0.1 * jax.random.normal(ks[11], (cout,)) if cin != cout else None
+        return (x, g1, b1v, pre2, g2, b2v, w1, b1, w2, b2), dict(
+            wr=wr, br=br, num_groups=groups
+        )
+
+    @pytest.mark.parametrize("cin,cout", [(16, 16), (16, 32)])
+    def test_kernel_interpret_matches_xla(self, rng, cin, cout):
+        from dmme_tpu.ops.resblock import resblock_forward
+
+        args, kw = self._args(rng, cin, cout)
+        ref = resblock_forward(*args, force="xla", **kw)
+        got = resblock_forward(*args, force="interpret", **kw)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+    @pytest.mark.parametrize("film", [False, True])
+    @pytest.mark.parametrize("cout", [16, 32])
+    def test_fused_block_matches_standard_resblock(self, rng, film, cout):
+        """ResBlock(fused_block=True) (XLA fallback on CPU) == the standard
+        composition, with an IDENTICAL parameter tree."""
+        from dmme_tpu.models.blocks import ResBlock
+
+        std = ResBlock(c_out=cout, num_groups=4, dropout=0.0, film=film)
+        fused = ResBlock(
+            c_out=cout, num_groups=4, dropout=0.0, film=film, fused_block=True
+        )
+        x = jax.random.normal(rng, (3, 8, 8, 16))
+        emb = jax.random.normal(jax.random.fold_in(rng, 1), (3, 12))
+        p1 = std.init(rng, x, emb)
+        p2 = fused.init(rng, x, emb)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            p1, p2,
+        )
+        a = std.apply(p1, x, emb)
+        b = fused.apply(p1, x, emb)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=2e-5
+        )
+
+    def test_fused_block_ignored_in_training(self, rng):
+        """fused_block must not change the training path (dropout active)."""
+        from dmme_tpu.models.blocks import ResBlock
+
+        block = ResBlock(
+            c_out=16, num_groups=4, dropout=0.5, deterministic=False,
+            fused_block=True,
+        )
+        x = jax.random.normal(rng, (2, 8, 8, 16))
+        emb = jax.random.normal(jax.random.fold_in(rng, 1), (2, 12))
+        params = block.init({"params": rng, "dropout": jax.random.PRNGKey(9)}, x, emb)
+        out = block.apply(params, x, emb, rngs={"dropout": jax.random.PRNGKey(5)})
+        assert out.shape == (2, 8, 8, 16)
