@@ -25,6 +25,8 @@ def UNet(
     dtype=jnp.float32,
     param_dtype=jnp.float32,
     remat: bool = False,
+    fused_norm: bool = False,
+    fused_block: bool = False,
 ) -> _UNet:
     return _UNet(
         in_channels=in_channels,
@@ -41,4 +43,6 @@ def UNet(
         dtype=dtype,
         param_dtype=param_dtype,
         remat=remat,
+        fused_norm=fused_norm,
+        fused_block=fused_block,
     )
