@@ -81,6 +81,20 @@ def main():
     float(jnp.sum(out))
     sample_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
 
+    # ---- DPM-Solver++(2M), 20 steps — 2nd-order ODE sampler (exact method;
+    # DDIM-50-class quality at 20 NFE; order=1 ≡ canonical DDIM, tested) ----
+    from dmme_tpu.diffusion import DPMSolverPP
+
+    dpm = DPMSolverPP.create(timesteps=1000, sub_timesteps=20)
+    dgen = jax.jit(dpm.generate, static_argnums=(0, 3))
+    out = dgen(model_fn, params, jax.random.PRNGKey(1), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for i in range(SAMPLE_REPEATS):
+        out = dgen(model_fn, params, jax.random.PRNGKey(i), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    dpm_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
+
     # ---- opt-in encoder-reuse sampler (approximate; docs/performance.md) ----
     from dmme_tpu.diffusion import CachedDDIM
 
@@ -115,6 +129,7 @@ def main():
                 "reference_measured_cpu_imgs_per_sec": 3.1,
                 "vs_reference_measured_cpu": round(train_ips / 3.1, 1),
                 "ddim50_sample_imgs_per_sec_chip": round(sample_ips, 2),
+                "dpm_solver_pp_2m_20step_imgs_per_sec_chip": round(dpm_ips, 2),
                 "ddim50_encoder_cached_imgs_per_sec_chip": round(fast_ips, 2),
                 "train_step_ms": round(1000 * dt / (CHUNK * CHUNKS_TIMED), 2),
                 "final_loss": round(last_loss, 4),

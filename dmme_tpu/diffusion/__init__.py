@@ -13,6 +13,7 @@ from dmme_tpu.diffusion.guidance import (
     classifier_grad,
 )
 from dmme_tpu.diffusion.fast import CachedDDIM
+from dmme_tpu.diffusion.dpm_solver import DPMSolverPP
 
 __all__ = [
     "DDPM",
@@ -23,4 +24,5 @@ __all__ = [
     "ClassifierGuidedDDIM",
     "classifier_grad",
     "CachedDDIM",
+    "DPMSolverPP",
 ]

@@ -36,8 +36,10 @@ BATCH, CHUNK, TIMED = 128, 10, 4
 
 
 def sample_main():
-    """DDIM-50 sampler throughput, batch 128 (the bench.py sampling leg)."""
-    from dmme_tpu.diffusion import DDIM
+    """Sampler throughput, batch 128 (the bench.py sampling leg).
+    sample = DDIM-50; sample_block = DDIM-50 with the fused ResBlock kernel;
+    sample_dpm = DPM-Solver++(2M) 20 steps."""
+    from dmme_tpu.diffusion import DDIM, DPMSolverPP
     from dmme_tpu.models import as_model_fn
 
     kw = {"fused_block": True} if variant == "sample_block" else {}
@@ -46,7 +48,10 @@ def sample_main():
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     state = lit.init_state(rng, img_size=32)
-    algo = DDIM.create(timesteps=1000, sub_timesteps=50)
+    if variant == "sample_dpm":
+        algo = DPMSolverPP.create(timesteps=1000, sub_timesteps=20)
+    else:
+        algo = DDIM.create(timesteps=1000, sub_timesteps=50)
     model_fn = as_model_fn(model)
     gen = jax.jit(algo.generate, static_argnums=(0, 3))
     params = state.ema_params
