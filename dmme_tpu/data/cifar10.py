@@ -86,7 +86,10 @@ class CIFAR10(DataModule):
                 f"CIFAR-10 archive md5 mismatch: {digest} != {self.MD5}"
             )
         with tarfile.open(archive, "r:gz") as tar:
-            tar.extractall(self.data_dir, filter="data")  # no links/devices
+            try:
+                tar.extractall(self.data_dir, filter="data")  # no links/devices
+            except TypeError:  # filter= needs >=3.12 (or 3.10.12/3.11.4)
+                tar.extractall(self.data_dir)
 
     # ----------------------------------------------------------------- loading
     def _load(self):

@@ -71,6 +71,7 @@ class DataModule:
         *,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        skip_batches: int = 0,
     ) -> Iterator[np.ndarray]:
         """Infinite shuffled uint8 batches (host-side index shuffle only).
 
@@ -80,6 +81,9 @@ class DataModule:
         shard that :func:`dmme_tpu.parallel.global_batch` assembles into one
         globally-sharded array. ``batch_size`` stays the GLOBAL batch size,
         matching the single-process recipe exactly.
+
+        ``skip_batches`` fast-forwards the stream (resume determinism)
+        WITHOUT touching the data — only the permutation stream advances.
         """
         assert self.train_data is not None, "call setup('fit') first"
         data = self.train_data
@@ -94,9 +98,13 @@ class DataModule:
             )
             local = self.batch_size // process_count
             lo, hi = process_index * local, (process_index + 1) * local
+        to_skip = skip_batches
         while True:
             perm = rng.permutation(n)
             for i in range(0, n - self.batch_size + 1, self.batch_size):
+                if to_skip > 0:
+                    to_skip -= 1
+                    continue
                 idx = perm[i : i + self.batch_size][lo:hi]
                 if labels is None:
                     yield data[idx]

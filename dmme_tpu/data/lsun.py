@@ -115,12 +115,16 @@ class LSUN(DataModule):
 
     @property
     def lmdb_path(self) -> str:
+        # scenes share ONE test archive (test_lmdb, no category prefix);
         # objects ship as a single-category archive without split suffix
-        name = (
-            f"{self.category}_{self.split}_lmdb"
-            if self.category in SCENES
-            else f"{self.category}_lmdb"
-        )
+        if self.category in SCENES:
+            name = (
+                "test_lmdb"
+                if self.split == "test"
+                else f"{self.category}_{self.split}_lmdb"
+            )
+        else:
+            name = f"{self.category}_lmdb"
         return os.path.join(self.data_dir, name)
 
     # -------------------------------------------------------------- download
@@ -148,21 +152,45 @@ class LSUN(DataModule):
 
     def _download_url(self, url: str, out_dir: str, out_name: str) -> None:
         """aria2c download + zip extract, skip-if-exists — the reference's
-        ``download_url`` behavior (lsun.py:122-145)."""
-        lmdb_path = os.path.join(out_dir, out_name.split(".")[0])
-        if os.path.exists(lmdb_path):
+        ``download_url`` behavior (lsun.py:122-145), hardened: a non-zero
+        aria2c exit or a corrupt/partial zip is removed and reported instead
+        of silently wedging every later run."""
+        if os.path.exists(self.lmdb_path):
             print("File exists skipping download")
             return
         os.makedirs(out_dir, exist_ok=True)
         out_path = os.path.join(out_dir, out_name)
         if not os.path.exists(out_path):
             print(f"Downloading {out_name}...")
-            subprocess.call(
-                ["aria2c", "-x", "16", "-s", "16", url, "-o", out_path]
-            )
+            try:
+                rc = subprocess.call(
+                    ["aria2c", "-x", "16", "-s", "16", url, "-o", out_path]
+                )
+            except FileNotFoundError as e:
+                raise RuntimeError(
+                    "aria2c is not installed (the reference's downloader); "
+                    f"install it or fetch {url} manually into {out_dir}"
+                ) from e
+            if rc != 0:
+                if os.path.exists(out_path):
+                    os.remove(out_path)  # never leave a partial archive
+                raise RuntimeError(f"aria2c failed (exit {rc}) for {url}")
         print(f"Extracting {out_name}...")
-        with zipfile.ZipFile(out_path) as f:
-            f.extractall(out_dir)
+        try:
+            with zipfile.ZipFile(out_path) as f:
+                f.extractall(out_dir)
+        except zipfile.BadZipFile:
+            os.remove(out_path)
+            raise RuntimeError(
+                f"{out_path} was corrupt (partial download?) — removed; "
+                "re-run to download again"
+            )
+        if not os.path.exists(self.lmdb_path):
+            # some official archives extract without the _lmdb suffix;
+            # normalize to the directory the reader expects
+            alt = os.path.join(out_dir, out_name.split(".")[0])
+            if os.path.isdir(alt):
+                os.rename(alt, self.lmdb_path)
 
     # ----------------------------------------------------------------- setup
     def _dataset(self, validate: bool) -> LSUNClass:
@@ -279,10 +307,14 @@ class LSUN(DataModule):
         *,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        skip_batches: int = 0,
     ):
         if self._stream_ds is None:
             yield from super().train_iter(
-                seed, process_index=process_index, process_count=process_count
+                seed,
+                process_index=process_index,
+                process_count=process_count,
+                skip_batches=skip_batches,
             )
             return
 
@@ -292,6 +324,10 @@ class LSUN(DataModule):
             local = self.batch_size // process_count
             lo, hi = process_index * local, (process_index + 1) * local
         rng = np.random.default_rng(seed)
+        # corrupt-value resampling draws from its OWN stream: pulling from
+        # the permutation rng would desynchronize hosts the first time one
+        # host's slice contains a corrupt image and another's doesn't
+        resample_rng = np.random.default_rng((seed, 0xC0FFEE))
         n = self._stream_n
 
         def order():
@@ -300,8 +336,11 @@ class LSUN(DataModule):
                 for i in range(0, n - self.batch_size + 1, self.batch_size):
                     yield perm[i : i + self.batch_size][lo:hi]
 
+        gen = order()
+        for _ in range(skip_batches):  # resume: advance indices, no decode
+            next(gen)
         with ThreadPoolExecutor(self.num_workers) as pool:
-            yield from self._stream_batches(order(), pool, rng)
+            yield from self._stream_batches(gen, pool, resample_rng)
 
     def test_iter(self):
         if self._stream_ds is None:

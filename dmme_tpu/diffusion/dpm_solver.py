@@ -109,23 +109,25 @@ class DPMSolverPP:
             eps = model_fn(params, x, t_vec).astype(jnp.float32)
             x0 = (x - s_t * eps) / a_t
 
-            h = lam_p - lam_t                        # > 0; +inf on final step
+            h = lam_p - lam_t                        # > 0; huge on final step
             ratio = jnp.exp(-h)                      # = (a_t σ_p)/(a_p σ_t)
             first = (s_p / s_t) * x - a_p * (ratio - 1.0) * x0
 
             if self.order == 1:
                 new_x = first
             else:
-                r = prev_h / h                       # 0 on the final step
+                r = prev_h / h
                 c = 1.0 / (2.0 * jnp.maximum(r, 1e-38))
                 d = (1.0 + c) * x0 - c * prev_x0
                 second = (s_p / s_t) * x - a_p * (ratio - 1.0) * d
-                # first step (no history: prev_h == 0) and final step
-                # (h == inf) fall back to first order
-                use_first = (prev_h == 0.0) | ~jnp.isfinite(h)
+                # lower_order_final: the first step (no history:
+                # prev_h == 0) and the FINAL step (t_prev == 0, where the
+                # σ clamp makes λ finite-but-huge and the 2nd-order
+                # coefficient 1/(2r) would blow up) use first order
+                use_first = (prev_h == 0.0) | (t_prev == 0)
                 new_x = jnp.where(use_first, first, second)
 
-            return (new_x, x0, jnp.where(jnp.isfinite(h), h, prev_h)), None
+            return (new_x, x0, h), None
 
         init = (x_t, jnp.zeros_like(x_t), jnp.float32(0.0))
         (x_0, _, _), _ = jax.lax.scan(body, init, idxs)

@@ -70,6 +70,12 @@ class InceptionScore:
         std is approximated with the same marginal (matching torchmetrics'
         single-split default behavior up to its 10-split chunking).
         """
+        if self.stats is None:
+            raise RuntimeError(
+                "InceptionScore.compute() before any update(): no logits "
+                "were ever seen (empty test iterator? dataset smaller than "
+                "batch_size drops the only batch)"
+            )
         n = float(jax.device_get(self.stats.n))
         assert n > 0
         marginal = np.asarray(jax.device_get(self.stats.prob_sum), np.float64) / n

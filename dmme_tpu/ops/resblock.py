@@ -44,15 +44,9 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 from dmme_tpu.ops.attention import on_tpu
+from dmme_tpu.ops.group_norm import _onehot  # shared channel→group matmul
 
-GN_EPS = 1e-5
-
-
-def _onehot(c, g):
-    cg = c // g
-    chan = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0) // cg
-    grp = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
-    return (chan == grp).astype(jnp.float32)
+from dmme_tpu.models.blocks import GN_EPS  # single source for the GN epsilon
 
 
 def _gn_silu(xf, gamma, beta, pre_bias, num_groups, eps):

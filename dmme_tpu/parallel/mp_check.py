@@ -95,9 +95,30 @@ def spawn(nproc: int, ndev_per_proc: int, steps: int = 3, timeout: int = 600) ->
         )
         for pid in range(nproc)
     ]
+    # drain ALL pipes concurrently: the workers run collectives, so a
+    # non-first worker blocked writing to a full stderr pipe would stall the
+    # barrier and deadlock a sequential communicate() on worker 0
+    import threading
+
+    outputs = [None] * nproc
+
+    def drain(i, p):
+        outputs[i] = p.communicate(timeout=timeout)
+
+    threads = [
+        threading.Thread(target=drain, args=(i, p)) for i, p in enumerate(procs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout + 30)
+
     results = []
-    for p in procs:
-        out, err = p.communicate(timeout=timeout)
+    for p, out_err in zip(procs, outputs):
+        if out_err is None:
+            p.kill()
+            raise RuntimeError("mp_check worker did not finish in time")
+        out, err = out_err
         if p.returncode != 0:
             raise RuntimeError(
                 f"mp_check worker failed (rc={p.returncode}):\n{err[-4000:]}"

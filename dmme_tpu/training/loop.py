@@ -125,17 +125,29 @@ def fit(
     t_last = time.time()
     imgs_since = 0
 
-    if nproc > 1:
-        it = datamodule.train_iter(
-            seed, process_index=jax.process_index(), process_count=nproc
-        )
-    else:
-        it = datamodule.train_iter(seed)
     # resume determinism: skip the batches already consumed so step k sees
     # the same data whether or not training was interrupted (per-step rng is
-    # already reproducible via fold_in(run_key, step))
-    for _ in range(start_step * max(accumulate_grad_batches, 1)):
-        next(it)
+    # already reproducible via fold_in(run_key, step)). Datamodules that
+    # support skip_batches fast-forward WITHOUT materializing (critical for
+    # streaming LSUN: resuming at step 500k must not decode 500k batches).
+    import inspect
+
+    skip = start_step * max(accumulate_grad_batches, 1)
+    it_kwargs = {}
+    if nproc > 1:
+        it_kwargs.update(process_index=jax.process_index(), process_count=nproc)
+    try:
+        supports_skip = "skip_batches" in inspect.signature(
+            datamodule.train_iter
+        ).parameters
+    except (TypeError, ValueError):
+        supports_skip = False
+    if supports_skip:
+        it = datamodule.train_iter(seed, skip_batches=skip, **it_kwargs)
+    else:
+        it = datamodule.train_iter(seed, **it_kwargs)
+        for _ in range(skip):
+            next(it)
     step = start_step
     holder = {"state": state}  # progress visible to the interrupt handler
     try:

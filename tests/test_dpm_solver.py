@@ -49,6 +49,21 @@ class TestDPMSolverPP:
         # the 2nd-order correction must actually do something
         assert float(jnp.max(jnp.abs(a - b))) > 1e-6
 
+    def test_final_step_is_first_order(self, rng):
+        """lower_order_final regression: with S=2 every order-2 step falls
+        back to first order (step 1 has no history, step 2 is final), so
+        order=2 must equal order=1 EXACTLY. Before the t_prev==0 guard the
+        final step ran the 2nd-order branch with 1/(2r) ≈ 39 (the sigma
+        clamp made λ(τ=0) finite), amplifying the last update ~39×."""
+        model_fn, params = make_model(rng)
+        kw = dict(timesteps=100, sub_timesteps=2)
+        one = DPMSolverPP.create(order=1, **kw)
+        two = DPMSolverPP.create(order=2, **kw)
+        key = jax.random.PRNGKey(11)
+        a = one.generate(model_fn, params, key, (2, 16, 16, 3))
+        b = two.generate(model_fn, params, key, (2, 16, 16, 3))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6)
+
     def test_jittable_and_shape(self, rng):
         model_fn, params = make_model(rng)
         dpm = DPMSolverPP.create(timesteps=50, sub_timesteps=5)
