@@ -14,6 +14,7 @@ from dmme_tpu.diffusion.guidance import (
 )
 from dmme_tpu.diffusion.fast import CachedDDIM
 from dmme_tpu.diffusion.dpm_solver import DPMSolverPP
+from dmme_tpu.diffusion.cfg import classifier_free
 
 __all__ = [
     "DDPM",
@@ -25,4 +26,5 @@ __all__ = [
     "classifier_grad",
     "CachedDDIM",
     "DPMSolverPP",
+    "classifier_free",
 ]

@@ -15,10 +15,13 @@ from dmme_tpu.models import blocks
 
 def as_model_fn(module):
     """Adapt a linen module to the diffusion layer's denoiser contract:
-    ``model_fn(params, x, t, *, train=False, rngs=None)``."""
+    ``model_fn(params, x, t, *, y=None, train=False, rngs=None)``
+    (``y``: optional class labels for conditional models)."""
 
-    def model_fn(params, x, t, *, train=False, rngs=None):
-        return module.apply(params, x, t, train=train, rngs=rngs)
+    def model_fn(params, x, t, *, y=None, train=False, rngs=None):
+        if y is None:
+            return module.apply(params, x, t, train=train, rngs=rngs)
+        return module.apply(params, x, t, y=y, train=train, rngs=rngs)
 
     return model_fn
 

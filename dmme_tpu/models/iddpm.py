@@ -27,6 +27,7 @@ def UNet(
     remat: bool = False,
     fused_norm: bool = False,
     fused_block: bool = False,
+    num_classes=None,
 ) -> _UNet:
     return _UNet(
         in_channels=in_channels,
@@ -45,4 +46,5 @@ def UNet(
         remat=remat,
         fused_norm=fused_norm,
         fused_block=fused_block,
+        num_classes=num_classes,
     )

@@ -15,7 +15,7 @@ DownSamples**; every up-path ResBlock pops one record and channel-concats it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Literal, Sequence, Tuple
+from typing import Literal, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -123,6 +123,11 @@ class UNet(nn.Module):
     #: mega-fused ResBlock forward (one Pallas kernel per block) for
     #: inference/sampling; ignored while training (see ops/resblock.py)
     fused_block: bool = False
+    #: class-conditional mode: a label embedding added to the timestep
+    #: embedding. The table has num_classes + 1 rows — index ``num_classes``
+    #: is the NULL (unconditional) token used for classifier-free guidance
+    #: training dropout and sampling (dmme_tpu.diffusion.cfg).
+    num_classes: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -130,6 +135,7 @@ class UNet(nn.Module):
         x: jax.Array,
         t: jax.Array,
         *,
+        y: Optional[jax.Array] = None,
         train: bool = False,
         return_features: bool = False,
         cached=None,
@@ -172,6 +178,15 @@ class UNet(nn.Module):
         emb = TimeEmbedding(
             self.pos_dim, self.emb_dim, self.dtype, self.param_dtype, name="time_embed"
         )(t)
+        if self.num_classes is not None:
+            assert y is not None, "class-conditional UNet needs labels y"
+            emb = emb + nn.Embed(
+                self.num_classes + 1,  # last row = null/unconditional token
+                self.emb_dim,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="class_embed",
+            )(y)
 
         if cached is None:
             x = x.astype(self.dtype)

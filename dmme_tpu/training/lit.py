@@ -43,6 +43,8 @@ class LitDDPM:
         dtype: Any = jnp.float32,
         ema_every_n_steps: int = 1,
         validate_original_weights: bool = False,
+        num_classes: Optional[int] = None,
+        cond_dropout: float = 0.1,
     ) -> None:
         self.lr = lr
         self.warmup = warmup
@@ -54,9 +56,15 @@ class LitDDPM:
         # raw (original) weights instead of the EMA copy.
         self.ema_every_n_steps = ema_every_n_steps
         self.validate_original_weights = validate_original_weights
+        # Classifier-free guidance training (dmme_tpu.diffusion.cfg):
+        # class-conditional model + label dropout to the null token.
+        self.num_classes = num_classes
+        self.cond_dropout = cond_dropout
 
         if model is None:
-            model = model_lib.ddpm.UNet(in_channels=img_channels, dtype=dtype)
+            model = model_lib.ddpm.UNet(
+                in_channels=img_channels, dtype=dtype, num_classes=num_classes
+            )
         self.model = model
         self.model_fn = model_lib.as_model_fn(model)
 
@@ -85,7 +93,10 @@ class LitDDPM:
         t = jnp.zeros((1,), jnp.int32)
         # jit the init: unjitted tracing dispatches hundreds of tiny eager ops
         # (pathological over a remote-TPU link — ~3 min for the default UNet).
-        params = jax.jit(self.model.init)(rng, x, t)
+        if self.num_classes is not None:
+            params = jax.jit(self.model.init)(rng, x, t, y=jnp.zeros((1,), jnp.int32))
+        else:
+            params = jax.jit(self.model.init)(rng, x, t)
         return TrainState.create(
             params,
             self.make_optimizer(),
@@ -96,13 +107,34 @@ class LitDDPM:
     # ------------------------------------------------------------------- loss
     def make_loss_fn(self, datamodule=None):
         """Loss over raw (uint8) batches: on-device augment → normalize →
-        diffusion loss, all inside one jitted program."""
+        diffusion loss, all inside one jitted program.
+
+        Labeled batches ``(images, labels)`` train the class-conditional
+        model; with ``num_classes`` set, ``cond_dropout`` of the labels are
+        replaced by the null token each step (classifier-free guidance
+        training, diffusion/cfg.py). Conditioning enters ONLY through a
+        bound model_fn — the diffusion algorithms stay label-agnostic."""
 
         def loss_fn(params, rng, batch):
+            if isinstance(batch, (tuple, list)):
+                x, y = batch
+            else:
+                x, y = batch, None
             if datamodule is not None:
                 aug_rng, rng = jax.random.split(rng)
-                batch = datamodule.train_transform(aug_rng, batch)
-            return self.diffusion_model.loss(self.model_fn, params, rng, batch, train=True)
+                x = datamodule.train_transform(aug_rng, x)
+            model_fn = self.model_fn
+            if y is not None and self.num_classes is not None:
+                drop_rng, rng = jax.random.split(rng)
+                drop = jax.random.bernoulli(drop_rng, self.cond_dropout, y.shape)
+                y_used = jnp.where(drop, jnp.int32(self.num_classes), y.astype(jnp.int32))
+
+                def model_fn(params, xt, t, *, train=False, rngs=None):
+                    return self.model_fn(
+                        params, xt, t, y=y_used, train=train, rngs=rngs
+                    )
+
+            return self.diffusion_model.loss(model_fn, params, rng, x, train=True)
 
         return loss_fn
 
