@@ -33,7 +33,7 @@ from dmme_tpu import equations
 from dmme_tpu import models
 from dmme_tpu import diffusion
 from dmme_tpu import diffusion as diffusion_models  # reference naming alias
-from dmme_tpu.training import LitDDPM, LitDDIM, LitIDDPM, LitClassifier
+from dmme_tpu.training import LitDDPM, LitDDIM, LitEDM, LitIDDPM, LitClassifier
 from dmme_tpu.data import CIFAR10, LSUN, ImageFolder64
 from dmme_tpu import datasets
 from dmme_tpu import callbacks
@@ -53,6 +53,7 @@ __all__ = [
     "datasets",
     "LitDDPM",
     "LitDDIM",
+    "LitEDM",
     "LitIDDPM",
     "LitClassifier",
     "CIFAR10",

@@ -15,6 +15,7 @@ from dmme_tpu.diffusion.guidance import (
 from dmme_tpu.diffusion.fast import CachedDDIM
 from dmme_tpu.diffusion.dpm_solver import DPMSolverPP
 from dmme_tpu.diffusion.cfg import classifier_free
+from dmme_tpu.diffusion.edm import EDM
 
 __all__ = [
     "DDPM",
@@ -27,4 +28,5 @@ __all__ = [
     "CachedDDIM",
     "DPMSolverPP",
     "classifier_free",
+    "EDM",
 ]

@@ -1,6 +1,6 @@
 """Training harness: Lit modules, state, optimizer, EMA, loops, checkpointing."""
 
-from dmme_tpu.training.lit import LitDDPM, LitDDIM, LitIDDPM
+from dmme_tpu.training.lit import LitDDPM, LitDDIM, LitEDM, LitIDDPM
 from dmme_tpu.training.classifier import LitClassifier
 from dmme_tpu.training.state import TrainState
 from dmme_tpu.training.ema import ema_update
@@ -13,6 +13,7 @@ __all__ = [
     "LitDDPM",
     "LitDDIM",
     "LitIDDPM",
+    "LitEDM",
     "LitClassifier",
     "TrainState",
     "ema_update",

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from dmme_tpu import models as model_lib
-from dmme_tpu.diffusion import DDIM, DDPM, IDDPM
+from dmme_tpu.diffusion import DDIM, DDPM, EDM, IDDPM
 from dmme_tpu.training.lr_schedule import warmup_schedule
 from dmme_tpu.training.state import TrainState
 
@@ -192,6 +192,52 @@ class LitDDIM(LitDDPM):
         super().__init__(
             lr, warmup, decay, diffusion_model, model, timesteps, **kwargs
         )
+
+
+class LitEDM(LitDDPM):
+    """EDM harness (no reference counterpart — capability beyond the
+    reference): continuous-σ preconditioned training (Karras et al. 2022)
+    on the same UNet, sampled with the 2nd-order Heun solver.
+
+    Note the diffusion algorithm conditions the network on c_noise(σ) — a
+    float — through the same sinusoidal time embedding; no model change."""
+
+    def __init__(
+        self,
+        lr: float = 1e-3,
+        warmup: int = 5000,
+        decay: float = 0.9999,
+        diffusion_model: Optional[EDM] = None,
+        model: Any = None,
+        sample_steps: int = 18,
+        sigma_min: float = 0.002,
+        sigma_max: float = 80.0,
+        rho: float = 7.0,
+        sigma_data: float = 0.5,
+        p_mean: float = -1.2,
+        p_std: float = 1.2,
+        order: int = 2,
+        s_churn: float = 0.0,
+        **kwargs,
+    ):
+        if diffusion_model is None:
+            diffusion_model = EDM.create(
+                steps=sample_steps,
+                sigma_min=sigma_min,
+                sigma_max=sigma_max,
+                rho=rho,
+                sigma_data=sigma_data,
+                p_mean=p_mean,
+                p_std=p_std,
+                order=order,
+                s_churn=s_churn,
+            )
+        super().__init__(lr, warmup, decay, diffusion_model, model, **kwargs)
+
+    def __call__(self, params, x_t, i, rng):
+        """One Heun step at σ-grid index ``i`` (EDM has no integer-t ancestral
+        step; the grid index plays the reference's ``t`` role here)."""
+        return self.diffusion_model.sampling_step(self.model_fn, params, x_t, i, rng)
 
 
 class LitIDDPM(LitDDPM):

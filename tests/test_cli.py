@@ -55,6 +55,7 @@ class TestShippedConfigs:
             "configs/ddpm/cifar10.yaml",
             "configs/ddim/cifar10.yaml",
             "configs/iddpm/cifar10.yaml",
+            "configs/edm/cifar10.yaml",
         ],
     )
     def test_configs_instantiate(self, path):
