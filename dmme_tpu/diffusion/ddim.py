@@ -43,7 +43,9 @@ class DDIM(DDPM):
         end: float = 0.02,
         eta: float = 0.0,
         variant: str = "canonical",
+        parameterization: str = "eps",
     ) -> "DDIM":
+        assert parameterization in ("eps", "v"), parameterization
         beta = eq.ddpm.linear_schedule(timesteps, start, end)
         tau_schedule = tau_schedule.lower()
         if tau_schedule == "linear":
@@ -59,6 +61,7 @@ class DDIM(DDPM):
             sub_timesteps=sub_timesteps,
             eta=eta,
             variant=variant,
+            parameterization=parameterization,
         )
 
     def sampling_step(
@@ -81,7 +84,8 @@ class DDIM(DDPM):
         ab_t = _bcast(self.schedule.alpha_bar[tau_i], x_tau_i.ndim)
         ab_prev = _bcast(self.schedule.alpha_bar[tau_prev], x_tau_i.ndim)
 
-        eps_hat = model_fn(params, x_tau_i, tau_i).astype(x_tau_i.dtype)
+        out = model_fn(params, x_tau_i, tau_i).astype(x_tau_i.dtype)
+        eps_hat = self.to_eps(out, x_tau_i, ab_t)
         if self.variant == "reference":
             p = eq.ddim.reverse_process(x_tau_i, ab_t, ab_prev, eps_hat)
             return p.mean

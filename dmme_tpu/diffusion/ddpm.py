@@ -46,11 +46,32 @@ class DDPM:
 
     schedule: Schedule
     timesteps: int = struct.field(pytree_node=False, default=1000)
+    #: network output convention: "eps" (reference parity) or "v"
+    #: (Salimans & Ho 2022 velocity — better-conditioned target at high ᾱ;
+    #: every sampler converts back to ε via eq.ddpm.eps_from_v)
+    parameterization: str = struct.field(pytree_node=False, default="eps")
 
     @classmethod
-    def create(cls, timesteps: int = 1000, start: float = 0.0001, end: float = 0.02) -> "DDPM":
+    def create(
+        cls,
+        timesteps: int = 1000,
+        start: float = 0.0001,
+        end: float = 0.02,
+        parameterization: str = "eps",
+    ) -> "DDPM":
+        assert parameterization in ("eps", "v"), parameterization
         beta = eq.ddpm.linear_schedule(timesteps, start, end)
-        return cls(schedule=eq.ddpm.schedule_from_beta(beta), timesteps=timesteps)
+        return cls(
+            schedule=eq.ddpm.schedule_from_beta(beta),
+            timesteps=timesteps,
+            parameterization=parameterization,
+        )
+
+    def to_eps(self, out: jax.Array, x_t: jax.Array, alpha_bar_t: jax.Array) -> jax.Array:
+        """Map the network's output to ε under the active parameterization."""
+        if self.parameterization == "v":
+            return eq.ddpm.eps_from_v(out, x_t, alpha_bar_t)
+        return out
 
     # ------------------------------------------------------------------ train
     def sample_timesteps(self, key: jax.Array, batch: int) -> jax.Array:
@@ -99,8 +120,12 @@ class DDPM:
         alpha_bar_t = _bcast(self.schedule.alpha_bar[t], x_0.ndim)
         x_t = eq.ddpm.q_sample(x_0, alpha_bar_t, noise)
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
-        eps_hat = model_fn(params, x_t, t, train=train, rngs=rngs)
-        return eq.ddpm.simple_loss(noise, eps_hat.astype(x_0.dtype))
+        out = model_fn(params, x_t, t, train=train, rngs=rngs)
+        if self.parameterization == "v":
+            target = eq.ddpm.v_target(x_0, alpha_bar_t, noise)
+        else:
+            target = noise
+        return eq.ddpm.simple_loss(target, out.astype(x_0.dtype))
 
     # ----------------------------------------------------------------- sample
     def sampling_step(
@@ -122,7 +147,8 @@ class DDPM:
         alpha_t = _bcast(self.schedule.alpha[t], x_t.ndim)
         alpha_bar_t = _bcast(self.schedule.alpha_bar[t], x_t.ndim)
 
-        eps_hat = model_fn(params, x_t, t).astype(x_t.dtype)
+        out = model_fn(params, x_t, t).astype(x_t.dtype)
+        eps_hat = self.to_eps(out, x_t, alpha_bar_t)
         p = eq.ddpm.reverse_process(x_t, beta_t, alpha_t, alpha_bar_t, eps_hat, beta_t)
         x_prev = p.sample(rng)
         return jnp.where(_bcast(t, x_t.ndim) == 1, p.mean, x_prev)

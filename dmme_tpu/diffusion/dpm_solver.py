@@ -44,6 +44,8 @@ class DPMSolverPP:
     timesteps: int = struct.field(pytree_node=False, default=1000)
     sub_timesteps: int = struct.field(pytree_node=False, default=20)
     order: int = struct.field(pytree_node=False, default=2)
+    #: "eps" or "v" — network output convention (eq.ddpm.eps_from_v)
+    parameterization: str = struct.field(pytree_node=False, default="eps")
 
     @classmethod
     def create(
@@ -55,8 +57,10 @@ class DPMSolverPP:
         start: float = 0.0001,
         end: float = 0.02,
         schedule: Optional[Schedule] = None,
+        parameterization: str = "eps",
     ) -> "DPMSolverPP":
         assert order in (1, 2), order
+        assert parameterization in ("eps", "v"), parameterization
         if schedule is None:
             beta = eq.ddpm.linear_schedule(timesteps, start, end)
             schedule = eq.ddpm.schedule_from_beta(beta)
@@ -69,6 +73,7 @@ class DPMSolverPP:
             timesteps=timesteps,
             sub_timesteps=sub_timesteps,
             order=order,
+            parameterization=parameterization,
         )
 
     # ------------------------------------------------------------------ math
@@ -106,8 +111,10 @@ class DPMSolverPP:
             a_p, s_p, lam_p = self._coeffs(t_prev)
 
             t_vec = jnp.broadcast_to(t, (x.shape[0],))
-            eps = model_fn(params, x, t_vec).astype(jnp.float32)
-            x0 = (x - s_t * eps) / a_t
+            out = model_fn(params, x, t_vec).astype(jnp.float32)
+            if self.parameterization == "v":
+                out = a_t * out + s_t * x  # ε = √ᾱ·v + √(1−ᾱ)·x_t
+            x0 = (x - s_t * out) / a_t
 
             h = lam_p - lam_t                        # > 0; huge on final step
             ratio = jnp.exp(-h)                      # = (a_t σ_p)/(a_p σ_t)

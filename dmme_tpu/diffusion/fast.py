@@ -38,13 +38,14 @@ class CachedDDIM(DDIM):
 
     @classmethod
     def create(cls, timesteps: int = 1000, sub_timesteps: int = 50,
-               tau_schedule: str = "quadratic", refresh_interval: int = 2) -> "CachedDDIM":
+               tau_schedule: str = "quadratic", refresh_interval: int = 2,
+               parameterization: str = "eps") -> "CachedDDIM":
         base = DDIM.create(timesteps, sub_timesteps, tau_schedule,
-                           variant="canonical")
+                           variant="canonical", parameterization=parameterization)
         return cls(
             schedule=base.schedule, timesteps=timesteps, tau=base.tau,
             sub_timesteps=base.sub_timesteps, eta=0.0, variant="canonical",
-            refresh_interval=refresh_interval,
+            refresh_interval=refresh_interval, parameterization=parameterization,
         )
 
     def generate(self, module, params, rng: jax.Array, img_shape: Tuple[int, ...]):
@@ -64,9 +65,10 @@ class CachedDDIM(DDIM):
         )
         cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), cache0)
 
-        def update(x, eps, tau_i, tau_prev):
+        def update(x, out, tau_i, tau_prev):
             ab_t = _bcast(self.schedule.alpha_bar[tau_i], x.ndim)
             ab_prev = _bcast(self.schedule.alpha_bar[tau_prev], x.ndim)
+            eps = self.to_eps(out, x, ab_t)
             p = eq.ddim.reverse_process_canonical(x, ab_t, ab_prev, eps, 0.0)
             return p.mean
 

@@ -75,6 +75,22 @@ def q_sample(x_0: jax.Array, alpha_bar_t: jax.Array, noise: jax.Array) -> jax.Ar
     return jnp.sqrt(alpha_bar_t) * x_0 + jnp.sqrt(1.0 - alpha_bar_t) * noise
 
 
+def v_target(x_0: jax.Array, alpha_bar_t: jax.Array, noise: jax.Array) -> jax.Array:
+    """Velocity target v = √ᾱ_t·ε − √(1−ᾱ_t)·x₀ (Salimans & Ho 2022,
+    "Progressive Distillation", arXiv:2202.00512 — capability beyond the
+    reference, which trains ε-prediction only)."""
+    return jnp.sqrt(alpha_bar_t) * noise - jnp.sqrt(1.0 - alpha_bar_t) * x_0
+
+
+def eps_from_v(v: jax.Array, x_t: jax.Array, alpha_bar_t: jax.Array) -> jax.Array:
+    """Invert the v-parameterization: ε = √ᾱ_t·v + √(1−ᾱ_t)·x_t.
+
+    Exact algebraic inverse of :func:`v_target` given
+    x_t = √ᾱ_t·x₀ + √(1−ᾱ_t)·ε (tested to roundoff) — lets every ε-native
+    sampler consume a v-prediction network through one fused multiply-add."""
+    return jnp.sqrt(alpha_bar_t) * v + jnp.sqrt(1.0 - alpha_bar_t) * x_t
+
+
 def reverse_process(
     x_t: jax.Array,
     beta_t: jax.Array,

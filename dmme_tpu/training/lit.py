@@ -45,6 +45,7 @@ class LitDDPM:
         validate_original_weights: bool = False,
         num_classes: Optional[int] = None,
         cond_dropout: float = 0.1,
+        parameterization: str = "eps",
     ) -> None:
         self.lr = lr
         self.warmup = warmup
@@ -69,7 +70,7 @@ class LitDDPM:
         self.model_fn = model_lib.as_model_fn(model)
 
         if diffusion_model is None:
-            diffusion_model = DDPM.create(timesteps)
+            diffusion_model = DDPM.create(timesteps, parameterization=parameterization)
         self.diffusion_model = diffusion_model
 
     # ------------------------------------------------------------- optimizer
@@ -183,11 +184,13 @@ class LitDDIM(LitDDPM):
         sample_steps: int = 50,
         tau_schedule: str = "quadratic",
         variant: str = "canonical",
+        parameterization: str = "eps",
         **kwargs,
     ):
         if diffusion_model is None:
             diffusion_model = DDIM.create(
-                timesteps, sample_steps, tau_schedule, variant=variant
+                timesteps, sample_steps, tau_schedule, variant=variant,
+                parameterization=parameterization,
             )
         super().__init__(
             lr, warmup, decay, diffusion_model, model, timesteps, **kwargs
