@@ -7,11 +7,20 @@ with ``NamedSharding``, let XLA insert the collectives over ICI.
 
 Mesh axes:
 
-* ``data``  — pure data parallelism; gradients all-reduce over ICI.
-* ``fsdp``  — optional parameter/optimizer sharding (ZeRO-style): each leaf
+* ``data``   — pure data parallelism; gradients all-reduce over ICI.
+* ``fsdp``   — optional parameter/optimizer sharding (ZeRO-style): each leaf
   is split along its largest divisible axis; XLA turns the paired
   all-gather (params) / reduce-scatter (grads) into bandwidth-optimal
-  collectives. The batch is sharded over BOTH axes so every chip computes.
+  collectives. The batch is sharded over data AND fsdp so every chip
+  computes.
+* ``tensor`` — optional tensor (channel) parallelism: conv kernels and
+  dense matrices shard their OUTPUT-channel axis, so activations flow
+  channel-sharded through the UNet (GroupNorm statistics stay device-local
+  when the split lands on group boundaries, which it does for the shipped
+  widths) and the SPMD partitioner inserts the contraction all-reduces.
+  For the 32px CIFAR model tensor parallelism is latency-bound overkill;
+  it exists for the 512-channel 256px LSUN UNet, where per-layer weights
+  and activations are 4× larger.
 
 Multi-host: call :func:`jax.distributed.initialize` first; these helpers use
 the global device list, so DCN crossing stays on the outermost (``data``)
@@ -31,21 +40,23 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     data: int = -1,
     fsdp: int = 1,
+    tensor: int = 1,
 ) -> Mesh:
-    """Build a ``(data, fsdp)`` mesh. ``data=-1`` absorbs remaining devices.
+    """Build a ``(data, fsdp, tensor)`` mesh. ``data=-1`` absorbs the rest.
 
-    The fsdp axis is innermost so its (per-step, per-layer) all-gathers ride
-    the fastest ICI links; the data axis' single gradient all-reduce tolerates
-    the slower outer links / DCN.
+    Axis order = collective frequency (innermost rides the fastest ICI
+    links): tensor parallelism all-reduces activations at every sharded
+    contraction, fsdp all-gathers per layer, and the data axis' single
+    gradient all-reduce tolerates the slower outer links / DCN.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % fsdp == 0, (n, fsdp)
-        data = n // fsdp
-    assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
-    arr = np.asarray(devices).reshape(data, fsdp)
-    return Mesh(arr, ("data", "fsdp"))
+        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    arr = np.asarray(devices).reshape(data, fsdp, tensor)
+    return Mesh(arr, ("data", "fsdp", "tensor"))
 
 
 def batch_sharding(mesh: Mesh, chunked: bool = False) -> NamedSharding:
@@ -63,20 +74,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def fsdp_param_spec(shape: Sequence[int], mesh: Mesh, min_weight_size: int = 2**14) -> P:
-    """Partition spec for one parameter: shard the largest axis divisible by
-    the fsdp axis size; small leaves stay replicated (their all-gather would
-    cost more than it saves)."""
-    fsdp_size = mesh.shape["fsdp"]
-    if fsdp_size == 1 or int(np.prod(shape)) < min_weight_size:
+    """Partition spec for one parameter.
+
+    * ``tensor`` axis (if >1): shard the OUTPUT-channel axis — the last axis
+      of conv kernels (HWIO) and dense matrices — Megatron-style column
+      parallelism; the SPMD partitioner propagates the channel sharding
+      through activations and inserts contraction all-reduces.
+    * ``fsdp`` axis (if >1): shard the largest remaining divisible axis
+      (ZeRO-style). Small leaves stay replicated (their all-gather would
+      cost more than it saves).
+    """
+    tensor_size = mesh.shape.get("tensor", 1)
+    fsdp_size = mesh.shape.get("fsdp", 1)
+    spec = [None] * len(shape)
+    if int(np.prod(shape)) < min_weight_size:
         return P()
-    # prefer the last (lane) axis, then the largest
-    order = sorted(range(len(shape)), key=lambda i: (shape[i], i), reverse=True)
-    for i in order:
-        if shape[i] % fsdp_size == 0:
-            spec = [None] * len(shape)
-            spec[i] = "fsdp"
-            return P(*spec)
-    return P()
+    tp_axis = None
+    if tensor_size > 1 and len(shape) >= 2 and shape[-1] % tensor_size == 0:
+        tp_axis = len(shape) - 1
+        spec[tp_axis] = "tensor"
+    if fsdp_size > 1:
+        # prefer the last (lane) axis, then the largest
+        order = sorted(range(len(shape)), key=lambda i: (shape[i], i), reverse=True)
+        for i in order:
+            if i != tp_axis and shape[i] % fsdp_size == 0:
+                spec[i] = "fsdp"
+                break
+    if all(s is None for s in spec):
+        return P()
+    return P(*spec)
 
 
 def params_sharding(params: Any, mesh: Mesh, min_weight_size: int = 2**14) -> Any:

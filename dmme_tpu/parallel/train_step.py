@@ -125,9 +125,13 @@ def clip_by_global_norm_fused(max_norm: float):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place a TrainState onto the mesh layout (replicated / fsdp-sharded)."""
-    return jax.device_put(state, state_sharding(state, mesh))
+def shard_state(
+    state: TrainState, mesh: Mesh, min_weight_size: int = 2**14
+) -> TrainState:
+    """Place a TrainState onto the mesh layout (replicated / fsdp- and
+    tensor-sharded leaves; ``min_weight_size`` gates which leaves shard —
+    lower it for tiny test models so collectives actually form)."""
+    return jax.device_put(state, state_sharding(state, mesh, min_weight_size))
 
 
 def shard_batch(batch, mesh: Mesh, chunked: bool = False):

@@ -43,7 +43,11 @@ def _make_mesh(mesh_cfg: Optional[Dict[str, int]]):
         return None
     from dmme_tpu.parallel import make_mesh
 
-    return make_mesh(data=mesh_cfg.get("data", -1), fsdp=mesh_cfg.get("fsdp", 1))
+    return make_mesh(
+        data=mesh_cfg.get("data", -1),
+        fsdp=mesh_cfg.get("fsdp", 1),
+        tensor=mesh_cfg.get("tensor", 1),
+    )
 
 
 def cmd_fit(config: Dict[str, Any]) -> None:

@@ -150,6 +150,49 @@ class TestFSDPSpec:
         assert fsdp_param_spec((3, 3, 3, 3), mesh) == jax.sharding.PartitionSpec()
 
 
+class TestTensorParallel:
+    def test_tp_spec_shards_output_channels(self, devices):
+        mesh = make_mesh(devices, data=2, fsdp=1, tensor=4)
+        spec = fsdp_param_spec((3, 3, 128, 256), mesh)
+        assert spec[-1] == "tensor" and spec[:3] == (None, None, None)
+
+    def test_tp_and_fsdp_share_a_leaf(self, devices):
+        mesh = make_mesh(devices, data=2, fsdp=2, tensor=2)
+        spec = fsdp_param_spec((3, 3, 128, 256), mesh)
+        assert spec[-1] == "tensor"
+        assert "fsdp" in spec and spec.index("fsdp") != len(spec) - 1
+
+    def test_tp_indivisible_output_stays_replicated(self, devices):
+        """output_conv HWIO has O=3 — never divisible by tensor."""
+        mesh = make_mesh(devices, data=2, fsdp=1, tensor=4)
+        spec = fsdp_param_spec((3, 3, 128, 3), mesh)
+        assert "tensor" not in tuple(spec)
+
+    @pytest.mark.slow
+    def test_tp_train_step_matches_single(self, rng, devices):
+        """(data=2, fsdp=2, tensor=2) step == single-device math.
+
+        min_weight_size=64 so the tiny UNet's conv kernels really shard on
+        the tensor axis (channel-parallel activations + contraction
+        all-reduces inserted by the SPMD partitioner)."""
+        lit = tiny_lit()
+        dm = CIFAR10(synthetic=True, synthetic_size=64, batch_size=16)
+        dm.setup("fit")
+        state0 = lit.init_state(rng, img_size=32)
+        batch = jnp.asarray(next(dm.train_iter(0)))
+        step = make_train_step(lit.make_loss_fn(dm), donate=False)
+        _, m_single = step(state0, batch, jax.random.PRNGKey(0))
+
+        mesh = make_mesh(devices, data=2, fsdp=2, tensor=2)
+        state_sh = shard_state(
+            lit.init_state(rng, img_size=32), mesh, min_weight_size=64
+        )
+        _, m_tp = step(state_sh, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_tp["loss"]), rtol=2e-4
+        )
+
+
 class TestFitLoop:
     def test_fit_runs_and_checkpoints(self, tmp_path, rng):
         lit = tiny_lit()
