@@ -44,6 +44,7 @@ class DDIM(DDPM):
         eta: float = 0.0,
         variant: str = "canonical",
         parameterization: str = "eps",
+        snr_gamma=None,
     ) -> "DDIM":
         assert parameterization in ("eps", "v"), parameterization
         beta = eq.ddpm.linear_schedule(timesteps, start, end)
@@ -62,6 +63,7 @@ class DDIM(DDPM):
             eta=eta,
             variant=variant,
             parameterization=parameterization,
+            snr_gamma=snr_gamma,
         )
 
     def sampling_step(

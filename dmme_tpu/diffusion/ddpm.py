@@ -50,6 +50,9 @@ class DDPM:
     #: (Salimans & Ho 2022 velocity — better-conditioned target at high ᾱ;
     #: every sampler converts back to ε via eq.ddpm.eps_from_v)
     parameterization: str = struct.field(pytree_node=False, default="eps")
+    #: Min-SNR-γ loss weighting (Hang et al. 2023); None = uniform
+    #: (reference parity). Typical γ = 5.0.
+    snr_gamma: Optional[float] = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(
@@ -58,6 +61,7 @@ class DDPM:
         start: float = 0.0001,
         end: float = 0.02,
         parameterization: str = "eps",
+        snr_gamma: Optional[float] = None,
     ) -> "DDPM":
         assert parameterization in ("eps", "v"), parameterization
         beta = eq.ddpm.linear_schedule(timesteps, start, end)
@@ -65,6 +69,7 @@ class DDPM:
             schedule=eq.ddpm.schedule_from_beta(beta),
             timesteps=timesteps,
             parameterization=parameterization,
+            snr_gamma=snr_gamma,
         )
 
     def to_eps(self, out: jax.Array, x_t: jax.Array, alpha_bar_t: jax.Array) -> jax.Array:
@@ -125,7 +130,12 @@ class DDPM:
             target = eq.ddpm.v_target(x_0, alpha_bar_t, noise)
         else:
             target = noise
-        return eq.ddpm.simple_loss(target, out.astype(x_0.dtype))
+        if self.snr_gamma is None:
+            return eq.ddpm.simple_loss(target, out.astype(x_0.dtype))
+        w = eq.ddpm.min_snr_weight(
+            alpha_bar_t, self.snr_gamma, self.parameterization
+        )
+        return jnp.mean(w * jnp.square(target - out.astype(x_0.dtype)))
 
     # ----------------------------------------------------------------- sample
     def sampling_step(

@@ -118,3 +118,25 @@ def simple_loss(noise: jax.Array, estimated_noise: jax.Array) -> jax.Array:
     Reference: src/dmme/equations/ddpm/losses.py:5-13.
     """
     return jnp.mean(jnp.square(noise - estimated_noise))
+
+
+def snr(alpha_bar_t: jax.Array) -> jax.Array:
+    """Signal-to-noise ratio SNR(t) = ᾱ_t / (1 − ᾱ_t)."""
+    return alpha_bar_t / jnp.maximum(1.0 - alpha_bar_t, 1e-20)
+
+
+def min_snr_weight(
+    alpha_bar_t: jax.Array, gamma: float, parameterization: str = "eps"
+) -> jax.Array:
+    """Min-SNR-γ per-timestep loss weight (Hang et al. 2023,
+    arXiv:2303.09556 — capability beyond the reference's uniform L_simple).
+
+    On the ε-objective: w = min(SNR, γ)/SNR — truncates the implicit
+    over-weighting of low-noise timesteps. On the v-objective the same
+    x₀-space weight becomes w = min(SNR, γ)/(SNR + 1).
+    """
+    s = snr(alpha_bar_t)
+    clipped = jnp.minimum(s, gamma)
+    if parameterization == "v":
+        return clipped / (s + 1.0)
+    return clipped / jnp.maximum(s, 1e-20)

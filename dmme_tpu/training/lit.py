@@ -46,6 +46,7 @@ class LitDDPM:
         num_classes: Optional[int] = None,
         cond_dropout: float = 0.1,
         parameterization: str = "eps",
+        snr_gamma: Optional[float] = None,
     ) -> None:
         self.lr = lr
         self.warmup = warmup
@@ -70,7 +71,9 @@ class LitDDPM:
         self.model_fn = model_lib.as_model_fn(model)
 
         if diffusion_model is None:
-            diffusion_model = DDPM.create(timesteps, parameterization=parameterization)
+            diffusion_model = DDPM.create(
+                timesteps, parameterization=parameterization, snr_gamma=snr_gamma
+            )
         self.diffusion_model = diffusion_model
 
     # ------------------------------------------------------------- optimizer
@@ -185,12 +188,13 @@ class LitDDIM(LitDDPM):
         tau_schedule: str = "quadratic",
         variant: str = "canonical",
         parameterization: str = "eps",
+        snr_gamma: Optional[float] = None,
         **kwargs,
     ):
         if diffusion_model is None:
             diffusion_model = DDIM.create(
                 timesteps, sample_steps, tau_schedule, variant=variant,
-                parameterization=parameterization,
+                parameterization=parameterization, snr_gamma=snr_gamma,
             )
         super().__init__(
             lr, warmup, decay, diffusion_model, model, timesteps, **kwargs

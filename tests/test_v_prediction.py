@@ -118,3 +118,83 @@ def test_lit_ddpm_v_trains():
     assert all(
         bool(jnp.all(jnp.isfinite(g))) for g in jax.tree_util.tree_leaves(grads)
     )
+
+
+class TestMinSNR:
+    """Min-SNR-γ loss weighting (Hang et al. 2023)."""
+
+    def test_weight_formula_golden(self):
+        ab = np.asarray([0.001, 0.5, 0.9, 0.9999], np.float64)
+        s = ab / (1 - ab)
+        got_eps = np.asarray(eq.ddpm.min_snr_weight(jnp.asarray(ab, jnp.float32), 5.0))
+        got_v = np.asarray(
+            eq.ddpm.min_snr_weight(jnp.asarray(ab, jnp.float32), 5.0, "v")
+        )
+        # rtol 1e-3: at ᾱ=0.9999 the f32 computation of 1−ᾱ loses ~4 digits
+        np.testing.assert_allclose(got_eps, np.minimum(s, 5.0) / s, rtol=1e-3)
+        np.testing.assert_allclose(got_v, np.minimum(s, 5.0) / (s + 1), rtol=1e-3)
+
+    def test_huge_gamma_equals_uniform_eps(self):
+        """γ → ∞ ⇒ w ≡ 1 on the ε objective ⇒ loss == unweighted L_simple."""
+        rng = np.random.RandomState(0)
+        x0 = jnp.asarray(rng.randn(3, 4, 4, 2), jnp.float32)
+        noise = jnp.asarray(rng.randn(3, 4, 4, 2), jnp.float32)
+        t = jnp.asarray([1, 25, 49], jnp.int32)
+
+        def model(params, x, tt, train=False, rngs=None):
+            return 0.3 * x
+
+        plain = DDPM.create(50)
+        weighted = DDPM.create(50, snr_gamma=1e9)
+        l0 = float(plain.loss_given(model, None, x0, t, noise))
+        l1 = float(weighted.loss_given(model, None, x0, t, noise))
+        assert l1 == pytest.approx(l0, rel=1e-6)
+
+    def test_weighted_loss_matches_manual(self):
+        rng = np.random.RandomState(1)
+        x0 = jnp.asarray(rng.randn(2, 4, 4, 3), jnp.float32)
+        noise = jnp.asarray(rng.randn(2, 4, 4, 3), jnp.float32)
+        t = jnp.asarray([3, 40], jnp.int32)
+        gamma = 5.0
+
+        def model(params, x, tt, train=False, rngs=None):
+            return 0.1 * x + 0.05
+
+        algo = DDPM.create(50, snr_gamma=gamma)
+        got = float(algo.loss_given(model, None, x0, t, noise))
+
+        ab = np.asarray(algo.schedule.alpha_bar)[np.asarray(t)][:, None, None, None]
+        x_t = np.sqrt(ab) * np.asarray(x0) + np.sqrt(1 - ab) * np.asarray(noise)
+        err = np.asarray(noise) - (0.1 * x_t + 0.05)
+        s = ab / (1 - ab)
+        w = np.minimum(s, gamma) / s
+        want = float((w * err**2).mean())
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_lit_ddim_forwards_snr_gamma(self):
+        """Regression: LitDDIM builds its own DDIM before super().__init__,
+        so snr_gamma must be forwarded explicitly (it was once dropped)."""
+        from dmme_tpu.training import LitDDIM
+
+        lit = LitDDIM(timesteps=10, sample_steps=5, snr_gamma=3.0,
+                      parameterization="v",
+                      model=object())  # model unused for this check
+        assert lit.diffusion_model.snr_gamma == 3.0
+        assert lit.diffusion_model.parameterization == "v"
+
+    def test_lit_snr_gamma_trains(self):
+        from dmme_tpu.models import ddpm as ddpm_models
+
+        lit = LitDDPM(
+            model=ddpm_models.UNet(
+                pos_dim=4, emb_dim=8, num_groups=2,
+                channels_per_depth=(4, 8, 8, 8), num_blocks=1,
+            ),
+            timesteps=10, warmup=10, parameterization="v", snr_gamma=5.0,
+        )
+        assert lit.diffusion_model.snr_gamma == 5.0
+        state = lit.init_state(jax.random.PRNGKey(0), img_size=8)
+        loss = lit.make_loss_fn()(
+            state.params, jax.random.PRNGKey(1), jnp.zeros((2, 8, 8, 3), jnp.float32)
+        )
+        assert jnp.isfinite(loss)
