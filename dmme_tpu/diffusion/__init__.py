@@ -16,6 +16,7 @@ from dmme_tpu.diffusion.fast import CachedDDIM
 from dmme_tpu.diffusion.dpm_solver import DPMSolverPP
 from dmme_tpu.diffusion.cfg import classifier_free
 from dmme_tpu.diffusion.edm import EDM
+from dmme_tpu.diffusion.distill import ProgressiveDistillation
 
 __all__ = [
     "DDPM",
@@ -29,4 +30,5 @@ __all__ = [
     "DPMSolverPP",
     "classifier_free",
     "EDM",
+    "ProgressiveDistillation",
 ]

@@ -1,6 +1,6 @@
 """Training harness: Lit modules, state, optimizer, EMA, loops, checkpointing."""
 
-from dmme_tpu.training.lit import LitDDPM, LitDDIM, LitEDM, LitIDDPM
+from dmme_tpu.training.lit import LitDDPM, LitDDIM, LitDistill, LitEDM, LitIDDPM
 from dmme_tpu.training.classifier import LitClassifier
 from dmme_tpu.training.state import TrainState
 from dmme_tpu.training.ema import ema_update
@@ -14,6 +14,7 @@ __all__ = [
     "LitDDIM",
     "LitIDDPM",
     "LitEDM",
+    "LitDistill",
     "LitClassifier",
     "TrainState",
     "ema_update",

@@ -247,6 +247,69 @@ class LitEDM(LitDDPM):
         return self.diffusion_model.sampling_step(self.model_fn, params, x_t, i, rng)
 
 
+class LitDistill(LitDDPM):
+    """Progressive-distillation harness (no reference counterpart).
+
+    Trains a student to halve the teacher's deterministic sampling steps
+    (dmme_tpu.diffusion.distill). Plugs into the standard ``fit`` loop: the
+    teacher's parameters ride in the loss closure as device constants (no
+    gradient, stop_gradient'd in the loss), and ``generate``/callbacks use
+    the student's N-step DDIM sampler.
+
+    Programmatic API (the teacher comes from a live state or checkpoint —
+    see scripts/distill.py for the round-driving workflow)."""
+
+    def __init__(
+        self,
+        teacher_model: Any,
+        teacher_params: Any,
+        distiller,
+        model: Any = None,
+        lr: float = 1e-4,
+        warmup: int = 0,
+        decay: float = 0.9999,
+        init_params: Any = None,
+        **kwargs,
+    ):
+        if model is None:
+            model = teacher_model  # same architecture by default
+        super().__init__(
+            lr, warmup, decay,
+            diffusion_model=distiller.student_sampler(),
+            model=model, **kwargs,
+        )
+        self.distiller = distiller
+        self.teacher_fn = model_lib.as_model_fn(teacher_model)
+        self.teacher_params = teacher_params
+        #: paper practice: initialize the student FROM the teacher
+        self.init_params = init_params
+
+    def init_state(self, rng: jax.Array, img_size: int = 32) -> TrainState:
+        state = super().init_state(rng, img_size)
+        if self.init_params is not None:
+            # deep copies: params and ema_params must NOT alias each other
+            # (or the teacher closure) — the donated train step would donate
+            # the same buffer twice
+            state = state.replace(
+                params=jax.tree.map(jnp.copy, self.init_params),
+                ema_params=jax.tree.map(jnp.copy, self.init_params),
+            )
+        return state
+
+    def make_loss_fn(self, datamodule=None):
+        def loss_fn(params, rng, batch):
+            x = batch[0] if isinstance(batch, (tuple, list)) else batch
+            if datamodule is not None:
+                aug_rng, rng = jax.random.split(rng)
+                x = datamodule.train_transform(aug_rng, x)
+            return self.distiller.loss(
+                self.teacher_fn, self.teacher_params,
+                self.model_fn, params, rng, x, train=True,
+            )
+
+        return loss_fn
+
+
 class LitIDDPM(LitDDPM):
     """IDDPM harness (reference: src/dmme/lit_modules/iddpm.py:12-54) —
     variance-learning UNet + hybrid loss."""
