@@ -39,7 +39,7 @@ def sample_main():
     """Sampler throughput, batch 128 (the bench.py sampling leg).
     sample = DDIM-50; sample_block = DDIM-50 with the fused ResBlock kernel;
     sample_dpm = DPM-Solver++(2M) 20 steps."""
-    from dmme_tpu.diffusion import DDIM, DPMSolverPP
+    from dmme_tpu.diffusion import DDIM, DPMSolverPP, EDM
     from dmme_tpu.models import as_model_fn
 
     kw = {"fused_block": True} if variant == "sample_block" else {}
@@ -50,6 +50,9 @@ def sample_main():
     state = lit.init_state(rng, img_size=32)
     if variant == "sample_dpm":
         algo = DPMSolverPP.create(timesteps=1000, sub_timesteps=20)
+    elif variant == "sample_edm":
+        # 18-step Heun = 35 NFE (the paper's CIFAR-10 sampling setting)
+        algo = EDM.create(steps=18)
     else:
         algo = DDIM.create(timesteps=1000, sub_timesteps=50)
     model_fn = as_model_fn(model)
