@@ -24,119 +24,13 @@ TINY = dict(
 )
 
 
-def _load_ref(name):
-    """Load reference model modules under a synthetic package so the iddpm
-    module's relative import of ddpm resolves."""
-    import sys
-    import types
-
-    base = "/root/reference/src/dmme/models"
-    if "refmodels" not in sys.modules:
-        pkg = types.ModuleType("refmodels")
-        pkg.__path__ = [base]
-        sys.modules["refmodels"] = pkg
-    full = f"refmodels.{name}"
-    if full in sys.modules:
-        return sys.modules[full]
-    if name == "iddpm":
-        _load_ref("ddpm")
-    spec = importlib.util.spec_from_file_location(full, f"{base}/{name}.py")
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[full] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-
-def _conv_w(w):  # OIHW -> HWIO
-    return jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0))
-
-
-def _lin_w(w):  # (O, I) -> (I, O)
-    return jnp.asarray(w.detach().numpy().T)
-
-
-def _arr(t):
-    return jnp.asarray(t.detach().numpy())
-
-
-def _copy_conv(dst, conv):
-    dst["kernel"] = _conv_w(conv.weight)
-    if conv.bias is not None:
-        dst["bias"] = _arr(conv.bias)
-
-
-def _copy_gn(dst, gn):
-    dst["scale"] = _arr(gn.weight)
-    dst["bias"] = _arr(gn.bias)
-
-
-def _copy_attention(dst, attn, heads):
-    _copy_gn(dst["GroupNorm_0"], attn.norm)
-    if heads == 1:
-        _copy_conv(dst["qkv_proj"], attn.qkv_proj)
-    else:
-        # reference MHA splits channels (head, 3c'); ours (3, head, c').
-        # permute output channels of the qkv projection accordingly.
-        w = attn.qkv_proj.weight.detach().numpy()  # (3D, I, 1, 1)
-        b = attn.qkv_proj.bias.detach().numpy()
-        three_d = w.shape[0]
-        d = three_d // 3
-        cp = d // heads  # per-head dim
-        perm = [
-            h * (3 * cp) + part * cp + j
-            for part in range(3)
-            for h in range(heads)
-            for j in range(cp)
-        ]
-        wp = w[perm]
-        dst["qkv_proj"]["kernel"] = jnp.asarray(wp.transpose(2, 3, 1, 0))
-        dst["qkv_proj"]["bias"] = jnp.asarray(b[perm])
-    _copy_conv(dst["proj"], attn.proj)
-
-
-def _copy_resblock(dst, rb, film, heads):
-    # conv1 = Sequential(norm, act, conv)
-    _copy_gn(dst["norm1"], rb.conv1[0])
-    _copy_conv(dst["conv1"], rb.conv1[2])
-    dst["condition"]["kernel"] = _lin_w(rb.condition[0].weight)
-    dst["condition"]["bias"] = _arr(rb.condition[0].bias)
-    if film:
-        _copy_gn(dst["norm2"], rb.norm)
-        conv2 = rb.conv2[-1]  # Sequential(act[, drop], conv)
-    else:
-        _copy_gn(dst["norm2"], rb.conv2[0])
-        conv2 = rb.conv2[-1]
-    _copy_conv(dst["conv2"], conv2)
-    if not isinstance(rb.residual, torch.nn.Identity):
-        _copy_conv(dst["residual"], rb.residual)
-    if not isinstance(rb.attention, torch.nn.Identity):
-        _copy_attention(dst["attention"], rb.attention, heads)
-
-
-def _copy_unet(params, net, film, heads):
-    p = params["params"]
-    p["time_embed"]["Dense_0"]["kernel"] = _lin_w(net.condition[1].weight)
-    p["time_embed"]["Dense_0"]["bias"] = _arr(net.condition[1].bias)
-    p["time_embed"]["Dense_1"]["kernel"] = _lin_w(net.condition[3].weight)
-    p["time_embed"]["Dense_1"]["bias"] = _arr(net.condition[3].bias)
-    _copy_conv(p["input_conv"], net.input_conv)
-
-    for i, layer in enumerate(net.down_layers):
-        if isinstance(layer, torch.nn.Conv2d):  # DownSample
-            _copy_conv(p[f"down_{i}"]["Conv_0"], layer)
-        else:
-            _copy_resblock(p[f"down_{i}"], layer, film, heads)
-    for i, layer in enumerate(net.middle_layers):
-        _copy_resblock(p[f"middle_{i}"], layer, film, heads)
-    for i, layer in enumerate(net.up_layers):
-        if layer.__class__.__name__ == "UpSample":
-            _copy_conv(p[f"up_{i}"]["Conv_0"], layer.conv)
-        else:
-            _copy_resblock(p[f"up_{i}"], layer, film, heads)
-
-    _copy_gn(p["out_norm"], net.output_conv[0])
-    _copy_conv(p["output_conv"], net.output_conv[2])
-    return params
+# Weight-conversion machinery lives in the library so the user-facing
+# checkpoint migration tool (scripts/convert_torch_ckpt.py) shares the
+# exact code these parity tests prove correct.
+from dmme_tpu.utils.torch_convert import (  # noqa: E402
+    load_reference_model_module as _load_ref,
+    copy_unet as _copy_unet,
+)
 
 
 def _to_mutable(params):
