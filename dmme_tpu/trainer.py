@@ -144,6 +144,47 @@ def cmd_sample(config: Dict[str, Any]) -> None:
     print(path)
 
 
+def cmd_predict(config: Dict[str, Any]) -> None:
+    """Lightning-predict analogue with real semantics: run the generative
+    model over ``trainer.limit_predict_batches`` batches (default 1) and
+    write each batch's raw samples as ``predictions/pred_<k>.npy`` in
+    [0, 1] float32 NHWC — machine-consumable outputs, where ``sample``
+    writes one human-facing PNG grid."""
+    import jax
+    import numpy as np
+
+    from dmme_tpu.training.checkpoint import CheckpointManager
+    from dmme_tpu.utils.norm import denorm
+
+    model, data, tc, _ = _build(config)
+    img_size = tc.get("img_size") or getattr(data, "img_size", None)
+    if img_size is None:
+        data.prepare_data()
+        data.setup("fit")
+        img_size = data.train_data.shape[1]
+    img_size = int(img_size)
+    batch = int(tc.get("predict_batch", getattr(data, "batch_size", 16)))
+    n_batches = int(tc.get("limit_predict_batches") or 1)
+
+    state = model.init_state(jax.random.PRNGKey(0), img_size=img_size)
+    ckpt_dir = tc.get("default_root_dir")
+    if ckpt_dir:
+        mgr = CheckpointManager(ckpt_dir)
+        if mgr.latest_step() is not None:
+            state = mgr.restore(state)
+
+    out_dir = (ckpt_dir or ".") + "/predictions"
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(int(config.get("seed_everything", 1337)))
+    shape = (batch, img_size, img_size, model.img_channels)
+    for k in range(n_batches):
+        out = model.generate(state, jax.random.fold_in(rng, k), shape)
+        np.save(f"{out_dir}/pred_{k:05d}.npy", np.asarray(denorm(out)))
+    print(out_dir)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="dmme_tpu.trainer")
     parser.add_argument(
@@ -162,8 +203,8 @@ def main(argv=None) -> None:
         "fit": cmd_fit,
         "test": cmd_test,       # FID/IS over generated samples
         "validate": cmd_validate,  # mean eval loss, no generation
-        "sample": cmd_sample,
-        "predict": cmd_sample,  # prediction == generation for a generative model
+        "sample": cmd_sample,   # human-facing PNG grid
+        "predict": cmd_predict,  # machine-facing per-batch .npy samples
     }
     dispatch[args.subcommand](config)
 

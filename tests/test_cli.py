@@ -207,3 +207,41 @@ class TestTrainerCLI:
         import glob
 
         assert glob.glob(str(tmp_path / "run2" / "samples" / "*"))
+
+    def test_predict_subcommand(self, tmp_path):
+        """predict = per-batch raw .npy samples in [0,1] (real semantics,
+        not a sample alias)."""
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            textwrap.dedent(
+                f"""
+                trainer:
+                  default_root_dir: {tmp_path}/run3
+                  limit_predict_batches: 2
+                  predict_batch: 3
+                model:
+                  class_path: dmme_tpu.training.LitDDPM
+                  init_args:
+                    timesteps: 5
+                    model:
+                      class_path: dmme_tpu.models.ddpm.UNet
+                      init_args: {{pos_dim: 4, emb_dim: 8, num_groups: 2,
+                                   channels_per_depth: [4, 8, 8, 8], num_blocks: 1}}
+                data:
+                  class_path: dmme_tpu.data.CIFAR10
+                  init_args: {{synthetic: true, synthetic_size: 8, batch_size: 4}}
+                """
+            )
+        )
+        import numpy as np
+
+        from dmme_tpu.trainer import main
+
+        main(["predict", "--config", str(cfg)])
+        files = sorted((tmp_path / "run3" / "predictions").glob("*.npy"))
+        assert len(files) == 2
+        a = np.load(files[0])
+        assert a.shape == (3, 32, 32, 3) and a.dtype == np.float32
+        assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
+        b = np.load(files[1])
+        assert not np.array_equal(a, b)  # per-batch rng fold_in
