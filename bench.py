@@ -95,6 +95,19 @@ def main():
     float(jnp.sum(out))
     dpm_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
 
+    # ---- EDM 18-step Heun (35 NFE; Karras et al. 2022 CIFAR-10 setting) ----
+    from dmme_tpu.diffusion import EDM
+
+    edm = EDM.create(steps=18)
+    egen = jax.jit(edm.generate, static_argnums=(0, 3))
+    out = egen(model_fn, params, jax.random.PRNGKey(1), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for i in range(SAMPLE_REPEATS):
+        out = egen(model_fn, params, jax.random.PRNGKey(i), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    edm_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
+
     # ---- opt-in encoder-reuse sampler (approximate; docs/performance.md) ----
     from dmme_tpu.diffusion import CachedDDIM
 
@@ -130,6 +143,7 @@ def main():
                 "vs_reference_measured_cpu": round(train_ips / 3.1, 1),
                 "ddim50_sample_imgs_per_sec_chip": round(sample_ips, 2),
                 "dpm_solver_pp_2m_20step_imgs_per_sec_chip": round(dpm_ips, 2),
+                "edm_heun18_imgs_per_sec_chip": round(edm_ips, 2),
                 "ddim50_encoder_cached_imgs_per_sec_chip": round(fast_ips, 2),
                 "train_step_ms": round(1000 * dt / (CHUNK * CHUNKS_TIMED), 2),
                 "final_loss": round(last_loss, 4),

@@ -6,6 +6,8 @@ adds the guided-diffusion ADM family the reference's tests promise but never
 implement (tests/test_adm.py).
 """
 
+import jax.numpy as jnp
+
 from dmme_tpu.models import ddpm
 from dmme_tpu.models import iddpm
 from dmme_tpu.models import adm
@@ -26,4 +28,22 @@ def as_model_fn(module):
     return model_fn
 
 
-__all__ = ["ddpm", "iddpm", "UNet", "build_topology", "blocks", "as_model_fn"]
+def eps_only(model_fn):
+    """Adapt a variance-learning denoiser (2C-channel output: ε ‖ v, the
+    IDDPM convention) to the ε-only contract the ODE samplers consume —
+    an IDDPM-trained model can then drive DDIM / DPM-Solver++ / EDM-style
+    fast sampling directly (capability beyond the reference, whose IDDPM
+    can only sample through its own ancestral loop)."""
+
+    def fn(params, x, t, **kwargs):
+        out = model_fn(params, x, t, **kwargs)
+        eps, _ = jnp.split(out, 2, axis=-1)
+        return eps
+
+    return fn
+
+
+__all__ = [
+    "ddpm", "iddpm", "UNet", "build_topology", "blocks", "as_model_fn",
+    "eps_only",
+]

@@ -114,7 +114,11 @@ def cmd_validate(config: Dict[str, Any]) -> None:
 
 def cmd_sample(config: Dict[str, Any]) -> None:
     """Generate a grid of samples from the latest checkpoint (extra utility —
-    the reference can only sample through its test loop or callback)."""
+    the reference can only sample through its test loop or callback).
+
+    ``trainer.sampler`` (ddim | dpm | edm) + ``trainer.sample_steps``
+    override the model's configured sampler at generation time — e.g. train
+    the DDPM recipe, sample with DPM-Solver++(2M) at 20 NFE."""
     import jax
 
     from dmme_tpu.callbacks import GenerateImage
@@ -136,11 +140,53 @@ def cmd_sample(config: Dict[str, Any]) -> None:
         mgr = CheckpointManager(ckpt_dir)
         if mgr.latest_step() is not None:
             state = mgr.restore(state)
+    step = int(jax.device_get(state.step))
+    n = int(tc.get("sample_batch") or 8)
+    out_dir = (ckpt_dir or ".") + "/samples"
+
+    sampler = tc.get("sampler")
+    if sampler:
+        import os
+
+        import numpy as np
+
+        from dmme_tpu.diffusion import DDIM, DPMSolverPP, EDM
+        from dmme_tpu.utils.norm import denorm
+        from dmme_tpu.utils.vis import make_history
+
+        base = model.diffusion_model
+        T = getattr(base, "timesteps", 1000)
+        par = getattr(base, "parameterization", "eps")
+        steps = int(tc.get("sample_steps") or {"ddim": 50, "dpm": 20, "edm": 18}[sampler])
+        if sampler == "ddim":
+            algo = DDIM.create(T, sub_timesteps=steps, parameterization=par)
+        elif sampler == "dpm":
+            algo = DPMSolverPP.create(T, sub_timesteps=steps, parameterization=par)
+        elif sampler == "edm":
+            # note: meaningful for EDM-trained models only (σ-conditioning)
+            algo = EDM.create(steps=steps)
+        else:
+            raise ValueError(f"unknown sampler: {sampler!r} (ddim|dpm|edm)")
+        out = algo.generate(
+            model.model_fn, state.ema_params, jax.random.PRNGKey(step),
+            (n, img_size, img_size, model.img_channels),
+        )
+        grid = make_history([np.asarray(denorm(out))])
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"step_{step:08d}_{sampler}{steps}.png")
+        from PIL import Image
+
+        img = (np.clip(grid, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img[..., 0] if img.shape[-1] == 1 else img).save(path)
+        print(path)
+        return
+
     cb = GenerateImage(
         imgsize=(model.img_channels, img_size, img_size),
-        out_dir=(ckpt_dir or ".") + "/samples",
+        num_samples=n,
+        out_dir=out_dir,
     )
-    path = cb.generate_and_save(int(jax.device_get(state.step)), model, state)
+    path = cb.generate_and_save(step, model, state)
     print(path)
 
 

@@ -15,6 +15,10 @@ import time
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "base"
 
+BATCH = 128
+if variant.startswith("b") and variant[1:].isdigit():  # e.g. b256
+    BATCH = int(variant[1:])
+
 import jax
 
 if variant == "rbg":
@@ -32,7 +36,7 @@ from dmme_tpu.models import ddpm as ddpm_models
 from dmme_tpu.parallel import make_train_chunk
 from dmme_tpu.training import LitDDPM
 
-BATCH, CHUNK, TIMED = 128, 10, 4
+CHUNK, TIMED = 10, 4
 
 
 def sample_main():

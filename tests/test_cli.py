@@ -208,6 +208,37 @@ class TestTrainerCLI:
 
         assert glob.glob(str(tmp_path / "run2" / "samples" / "*"))
 
+    def test_sample_sampler_override(self, tmp_path):
+        """trainer.sampler swaps the generation-time sampler (train DDPM,
+        sample with DPM-Solver++) and sample_batch is honored."""
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            textwrap.dedent(
+                f"""
+                trainer: {{default_root_dir: {tmp_path}/runs}}
+                model:
+                  class_path: dmme_tpu.training.LitDDPM
+                  init_args:
+                    timesteps: 8
+                    model:
+                      class_path: dmme_tpu.models.ddpm.UNet
+                      init_args: {{pos_dim: 4, emb_dim: 8, num_groups: 2,
+                                   channels_per_depth: [4, 8, 8, 8], num_blocks: 1}}
+                data:
+                  class_path: dmme_tpu.data.CIFAR10
+                  init_args: {{synthetic: true, synthetic_size: 8, batch_size: 4}}
+                """
+            )
+        )
+        from dmme_tpu.trainer import main
+
+        main(["sample", "--config", str(cfg), "--trainer.sampler", "dpm",
+              "--trainer.sample_steps", "3", "--trainer.sample_batch", "4"])
+        import glob
+
+        paths = glob.glob(str(tmp_path / "runs" / "samples" / "*dpm3*"))
+        assert len(paths) == 1
+
     def test_predict_subcommand(self, tmp_path):
         """predict = per-batch raw .npy samples in [0,1] (real semantics,
         not a sample alias)."""

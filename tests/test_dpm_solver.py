@@ -79,3 +79,33 @@ class TestDPMSolverPP:
         )
         out = dpm.generate(model_fn, params, jax.random.PRNGKey(1), (1, 16, 16, 3))
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestEpsOnlyAdapter:
+    def test_iddpm_model_drives_fast_samplers(self):
+        """IDDPM's 2C-channel (eps || v) output drives DDIM and DPM-Solver++
+        through models.eps_only (capability the reference lacks: its IDDPM
+        samples only through the ancestral loop)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dmme_tpu.diffusion import DDIM, DPMSolverPP
+        from dmme_tpu.models import as_model_fn, eps_only, iddpm as iddpm_models
+
+        model = iddpm_models.UNet(
+            pos_dim=4, emb_dim=8, num_groups=2,
+            channels_per_depth=(4, 8, 8, 8), num_blocks=1,
+        )
+        x = jnp.zeros((2, 8, 8, 3), jnp.float32)
+        t = jnp.zeros((2,), jnp.int32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+        fn = eps_only(as_model_fn(model))
+        assert fn(params, x, t).shape == (2, 8, 8, 3)
+
+        for algo in (
+            DDIM.create(20, sub_timesteps=4),
+            DPMSolverPP.create(20, sub_timesteps=4),
+        ):
+            out = algo.generate(fn, params, jax.random.PRNGKey(1), (2, 8, 8, 3))
+            assert out.shape == (2, 8, 8, 3)
+            assert bool(jnp.all(jnp.isfinite(out)))
