@@ -9,7 +9,7 @@ L = L_simple + γ·L_vlb with stop-gradient on ε inside L_vlb
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +17,7 @@ from flax import struct
 
 import dmme_tpu.equations as eq
 from dmme_tpu.diffusion.ddpm import DDPM, ModelFn, _bcast
+from dmme_tpu.utils.noise import pad
 
 
 class NoiseVariance(NamedTuple):
@@ -30,6 +31,10 @@ class IDDPM(DDPM):
 
     loss_type: str = struct.field(pytree_node=False, default="hybrid")
     gamma: float = struct.field(pytree_node=False, default=0.001)
+    #: set by :meth:`strided` — maps respaced indices to ORIGINAL timesteps
+    #: for the network's time conditioning (the model was trained on the
+    #: original grid); None on an unstrided instance.
+    timestep_map: Optional[jax.Array] = None
 
     @classmethod
     def create(
@@ -68,7 +73,8 @@ class IDDPM(DDPM):
         between β_t and β̃_t (reference: src/dmme/diffusion_models/
         iddpm.py:150-164). Channels are last in NHWC, so the split is on
         axis −1 (the reference chunks torch dim 1 in NCHW)."""
-        out = model_fn(params, x_t, t, **model_kwargs).astype(x_t.dtype)
+        t_model = t if self.timestep_map is None else self.timestep_map[t]
+        out = model_fn(params, x_t, t_model, **model_kwargs).astype(x_t.dtype)
         eps_hat, v = jnp.split(out, 2, axis=-1)
         bt = eq.iddpm.beta_tilde(beta_t, alpha_bar_t, alpha_bar_t_minus_one)
         variance = eq.iddpm.interpolate_variance(v, beta_t, bt)
@@ -129,6 +135,45 @@ class IDDPM(DDPM):
         if self.loss_type == "vlb":
             return vlb
         return eq.ddpm.simple_loss(noise, out.noise) + self.gamma * vlb
+
+    # ----------------------------------------------------------------- respace
+    def strided(self, sub_timesteps: int, tau_schedule: str = "linear") -> "IDDPM":
+        """Fast sampling via schedule respacing (IDDPM paper §4: with
+        LEARNED variances, a K-step evenly-strided subsequence retains
+        near-full-T quality — the paper's main sampling-speed result;
+        capability the reference never implemented).
+
+        The respaced process keeps the original ᾱ at the kept points:
+        β^S_i = 1 − ᾱ_{τ_i}/ᾱ_{τ_{i−1}} (telescoping product reproduces ᾱ
+        exactly), while the network is conditioned on the ORIGINAL
+        timesteps through ``timestep_map`` — it was trained on that grid.
+        The returned instance is for SAMPLING; its loss methods would
+        train against the respaced grid and are not what you want."""
+        tau_fn = {
+            "linear": eq.ddim.linear_tau,
+            "quadratic": eq.ddim.quadratic_tau,
+        }[tau_schedule]
+        tau = tau_fn(self.timesteps, sub_timesteps)
+        # float64 on host: with a cosine schedule ᾱ_T ~ 1e-15 and the ratio
+        # would round to β = exactly 1 in f32 (α = 0 ⇒ rsqrt(0) = ∞ in the
+        # reverse mean). Clip to 0.999 — the SAME guard the cosine schedule
+        # itself applies (equations/iddpm.py, reference parity quirk).
+        import numpy as np
+
+        ab = np.asarray(self.schedule.alpha_bar, np.float64)[np.asarray(tau)]
+        beta = jnp.asarray(
+            np.minimum(1.0 - ab[1:] / ab[:-1], 0.999), jnp.float32
+        )
+        beta = pad(beta, 0.0)
+        return IDDPM(
+            schedule=eq.ddpm.schedule_from_beta(beta),
+            timesteps=sub_timesteps,
+            parameterization=self.parameterization,
+            snr_gamma=self.snr_gamma,
+            loss_type=self.loss_type,
+            gamma=self.gamma,
+            timestep_map=tau,
+        )
 
     # ----------------------------------------------------------------- sample
     def sampling_step(

@@ -330,6 +330,7 @@ class LitIDDPM(LitDDPM):
         end: float = 0.02,
         img_channels: int = 3,
         dtype: Any = jnp.float32,
+        sample_steps: Optional[int] = None,
         **kwargs,
     ):
         if model is None:
@@ -338,7 +339,27 @@ class LitIDDPM(LitDDPM):
             diffusion_model = IDDPM.create(
                 timesteps, loss_type, gamma, schedule, offset, start, end
             )
+        # IDDPM §4 fast sampling: train on the full grid, SAMPLE on a
+        # respaced K-step grid with learned variances (IDDPM.strided).
+        self.sample_algorithm = (
+            diffusion_model.strided(sample_steps)
+            if sample_steps is not None and hasattr(diffusion_model, "strided")
+            else None
+        )
         super().__init__(
             lr, warmup, decay, diffusion_model, model, timesteps,
             img_channels=img_channels, dtype=dtype, **kwargs,
+        )
+
+    def generate(self, state, rng, img_shape, *, use_ema=None, history_length=None):
+        if self.sample_algorithm is None:
+            return super().generate(
+                state, rng, img_shape, use_ema=use_ema,
+                history_length=history_length,
+            )
+        if use_ema is None:
+            use_ema = not self.validate_original_weights
+        params = state.ema_params if use_ema else state.params
+        return self.sample_algorithm.generate(
+            self.model_fn, params, rng, img_shape, history_length=history_length
         )
