@@ -65,6 +65,9 @@ def cmd_fit(config: Dict[str, Any]) -> None:
         ckpt_every=int(tc.get("ckpt_every_n_steps", 100_000)),
         callbacks=callbacks,
         resume=config.get("ckpt_path") is not None or bool(tc.get("resume", False)),
+        # fault tolerance: restore latest checkpoint + resume on failure,
+        # up to N times (reference has no recovery beyond manual resume)
+        max_restarts=int(tc.get("max_restarts") or 0),
         accumulate_grad_batches=int(tc.get("accumulate_grad_batches") or 1),
         steps_per_call=int(tc.get("steps_per_call") or 1),
         debug_nans=bool(tc.get("detect_anomaly", False)),

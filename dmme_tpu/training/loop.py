@@ -30,6 +30,50 @@ def fit(
     datamodule,
     max_steps: int,
     *,
+    max_restarts: int = 0,
+    resume: bool = False,
+    **kwargs,
+) -> TrainState:
+    """Train ``lit`` on ``datamodule`` for ``max_steps`` optimizer steps.
+
+    See :func:`_fit_once` for the full keyword surface. ``max_restarts``
+    adds fault tolerance the reference never had (SURVEY.md §5 "failure
+    detection / elastic recovery: none"): on an unexpected exception the
+    loop restores the latest checkpoint and resumes, up to N times. The
+    exact-resume machinery (per-step rng = fold_in(run_key, step), data
+    iterator fast-forward, interrupt-safe saves) makes a restarted run
+    bitwise-identical to an uninterrupted one — tested.
+    """
+    if max_restarts <= 0:
+        return _fit_once(lit, datamodule, max_steps, resume=resume, **kwargs)
+    if not kwargs.get("ckpt_dir"):
+        raise ValueError("max_restarts needs ckpt_dir to recover from")
+    attempts = 0
+    while True:
+        try:
+            return _fit_once(
+                lit, datamodule, max_steps,
+                resume=resume or attempts > 0, **kwargs,
+            )
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # noqa: BLE001 — deliberate recovery boundary
+            attempts += 1
+            if attempts > max_restarts:
+                raise
+            print(
+                f"[fit] attempt {attempts}/{max_restarts} failed "
+                f"({type(e).__name__}: {e}); restoring latest checkpoint "
+                "and resuming",
+                flush=True,
+            )
+
+
+def _fit_once(
+    lit,
+    datamodule,
+    max_steps: int,
+    *,
     seed: int = 1337,
     mesh=None,
     log_every: int = 50,
@@ -44,7 +88,7 @@ def fit(
     loggers=None,
     tensorboard: bool = False,
 ) -> TrainState:
-    """Train ``lit`` on ``datamodule`` for ``max_steps`` optimizer steps.
+    """One fit attempt (the body of :func:`fit`).
 
     Defaults mirror the reference recipe: seed 1337 (src/dmme/trainer.py:9),
     log every 50 steps, checkpoint every 100k + last

@@ -295,3 +295,64 @@ class TestLitIDDPM:
         batch = jnp.asarray(next(dm.train_iter(0)))
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestFaultTolerance:
+    """fit(max_restarts=N): auto-recovery the reference never had."""
+
+    class Bomb:
+        """Callback that raises once at a given step, first attempt only."""
+
+        def __init__(self, at_step):
+            self.at_step = at_step
+            self.armed = True
+
+        def on_train_step_end(self, step, lit, state, logger=None):
+            if self.armed and step == self.at_step:
+                self.armed = False
+                raise RuntimeError("injected failure")
+
+    @pytest.mark.slow
+    def test_restart_recovers_bitwise(self, tmp_path, rng):
+        lit = tiny_lit()
+        dm = CIFAR10(synthetic=True, synthetic_size=64, batch_size=8)
+
+        clean = fit(
+            lit, dm, max_steps=6,
+            ckpt_dir=str(tmp_path / "clean"), ckpt_every=2, log_every=100,
+        )
+
+        bomb = self.Bomb(at_step=3)
+        recovered = fit(
+            lit, dm, max_steps=6,
+            ckpt_dir=str(tmp_path / "faulty"), ckpt_every=2, log_every=100,
+            callbacks=[bomb], max_restarts=1,
+        )
+        assert not bomb.armed  # the failure really fired
+        assert int(jax.device_get(recovered.step)) == 6
+        for a, b in zip(
+            jax.tree.leaves(clean.params), jax.tree.leaves(recovered.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.slow
+    def test_exhausted_restarts_reraise(self, tmp_path, rng):
+        lit = tiny_lit()
+        dm = CIFAR10(synthetic=True, synthetic_size=32, batch_size=8)
+
+        class AlwaysBomb:
+            def on_train_step_end(self, step, lit, state, logger=None):
+                raise RuntimeError("permanent failure")
+
+        with pytest.raises(RuntimeError, match="permanent failure"):
+            fit(
+                lit, dm, max_steps=3,
+                ckpt_dir=str(tmp_path / "ckpt"), ckpt_every=1, log_every=100,
+                callbacks=[AlwaysBomb()], max_restarts=2,
+            )
+
+    def test_max_restarts_requires_ckpt_dir(self):
+        lit = tiny_lit()
+        dm = CIFAR10(synthetic=True, synthetic_size=32, batch_size=8)
+        with pytest.raises(ValueError, match="ckpt_dir"):
+            fit(lit, dm, max_steps=1, max_restarts=1)
