@@ -234,10 +234,38 @@ def cmd_predict(config: Dict[str, Any]) -> None:
     print(out_dir)
 
 
+def cmd_serve(config: Dict[str, Any]) -> None:
+    """Serve the latest checkpoint over HTTP (dmme_tpu.serving):
+    GET /healthz, POST /sample {n, sampler, steps, seed, format}."""
+    import jax
+
+    from dmme_tpu.serving import Sampler, serve_forever
+    from dmme_tpu.training.checkpoint import CheckpointManager
+
+    model, data, tc, _ = _build(config)
+    img_size = tc.get("img_size") or getattr(data, "img_size", None)
+    if img_size is None:
+        data.prepare_data()
+        data.setup("fit")
+        img_size = data.train_data.shape[1]
+    state = model.init_state(jax.random.PRNGKey(0), img_size=int(img_size))
+    ckpt_dir = tc.get("default_root_dir")
+    if ckpt_dir:
+        mgr = CheckpointManager(ckpt_dir)
+        if mgr.latest_step() is not None:
+            state = mgr.restore(state)
+    serve_forever(
+        Sampler(model, state, int(img_size)),
+        host=str(tc.get("host", "127.0.0.1")),
+        port=int(tc.get("port", 8000)),
+    )
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="dmme_tpu.trainer")
     parser.add_argument(
-        "subcommand", choices=["fit", "validate", "test", "sample", "predict"]
+        "subcommand",
+        choices=["fit", "validate", "test", "sample", "predict", "serve"],
     )
     parser.add_argument("--config", required=True)
     args, overrides = parser.parse_known_args(argv)
@@ -254,6 +282,7 @@ def main(argv=None) -> None:
         "validate": cmd_validate,  # mean eval loss, no generation
         "sample": cmd_sample,   # human-facing PNG grid
         "predict": cmd_predict,  # machine-facing per-batch .npy samples
+        "serve": cmd_serve,     # HTTP sampling server (dmme_tpu.serving)
     }
     dispatch[args.subcommand](config)
 

@@ -1,0 +1,94 @@
+"""HTTP sampling server (dmme_tpu.serving) — real requests over a socket.
+
+Starts the actual ThreadingHTTPServer on an ephemeral port and talks to it
+with urllib: healthz JSON, npy round-trip (shape/range/dtype), PNG magic,
+batch bucketing (n=3 → bucket 4, sliced back to 3), determinism by seed,
+and input validation (unknown sampler/format → 400).
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from dmme_tpu.diffusion import DDPM
+from dmme_tpu.models import ddpm as ddpm_models
+from dmme_tpu.serving import Sampler, make_server
+from dmme_tpu.training import LitDDPM
+
+TINY = dict(
+    pos_dim=4, emb_dim=8, num_groups=2, channels_per_depth=(4, 8, 8, 8),
+    num_blocks=1,
+)
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    lit = LitDDPM(
+        model=ddpm_models.UNet(**TINY),
+        diffusion_model=DDPM.create(timesteps=6),
+        warmup=10,
+    )
+    state = lit.init_state(jax.random.PRNGKey(0), img_size=8)
+    server = make_server(Sampler(lit, state, img_size=8), port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url + "/sample",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.read(), r.headers.get("Content-Type")
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(server_url + "/healthz", timeout=30) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["img_size"] == 8
+    assert "dpm" in info["samplers"]
+
+
+def test_npy_sampling_bucketed_and_deterministic(server_url):
+    body, ctype = _post(server_url, {"n": 3, "format": "npy", "seed": 5})
+    assert ctype == "application/octet-stream"
+    arr = np.load(io.BytesIO(body))
+    assert arr.shape == (3, 8, 8, 3) and arr.dtype == np.float32
+    assert float(arr.min()) >= 0.0 and float(arr.max()) <= 1.0
+
+    body2, _ = _post(server_url, {"n": 3, "format": "npy", "seed": 5})
+    np.testing.assert_array_equal(arr, np.load(io.BytesIO(body2)))
+
+    body3, _ = _post(server_url, {"n": 3, "format": "npy", "seed": 6})
+    assert not np.array_equal(arr, np.load(io.BytesIO(body3)))
+
+
+def test_png_and_fast_sampler(server_url):
+    body, ctype = _post(
+        server_url, {"n": 2, "sampler": "dpm", "steps": 3, "format": "png"}
+    )
+    assert ctype == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_bad_requests_rejected(server_url):
+    for bad in (
+        {"n": 2, "sampler": "nope"},
+        {"n": 2, "format": "gif"},
+        {"n": 0},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server_url, bad)
+        assert exc.value.code == 400
