@@ -6,5 +6,6 @@ one fused pytree update inside the train step (see
 """
 
 from dmme_tpu.callbacks.generate import GenerateImage
+from dmme_tpu.callbacks.profile import ProfileTrace
 
-__all__ = ["GenerateImage"]
+__all__ = ["GenerateImage", "ProfileTrace"]

@@ -59,3 +59,30 @@ class TestGenerateImageCallback:
     def test_imgsize_hwc_order_accepted(self):
         cb = GenerateImage(imgsize=(32, 32, 3), num_samples=2)
         assert cb.shape == (2, 32, 32, 3)
+
+
+class TestProfileTrace:
+    def test_trace_written_during_fit(self, tmp_path):
+        """ProfileTrace captures an xplane trace for its step window."""
+        import glob
+
+        from dmme_tpu.callbacks import ProfileTrace
+        from dmme_tpu.data import CIFAR10
+        from dmme_tpu.diffusion import DDPM
+        from dmme_tpu.models import ddpm as ddpm_models
+        from dmme_tpu.training import LitDDPM, fit
+
+        lit = LitDDPM(
+            model=ddpm_models.UNet(
+                pos_dim=4, emb_dim=8, num_groups=2,
+                channels_per_depth=(4, 8, 8, 8), num_blocks=1,
+            ),
+            diffusion_model=DDPM.create(timesteps=6),
+            warmup=10,
+        )
+        dm = CIFAR10(synthetic=True, synthetic_size=32, batch_size=8)
+        cb = ProfileTrace(start_step=1, num_steps=2, log_dir=str(tmp_path / "prof"))
+        fit(lit, dm, max_steps=4, log_every=100, callbacks=[cb])
+        assert cb._started and cb._stopped
+        assert glob.glob(str(tmp_path / "prof" / "**" / "*.xplane.pb"),
+                         recursive=True)
