@@ -17,6 +17,7 @@ from dmme_tpu.diffusion.dpm_solver import DPMSolverPP
 from dmme_tpu.diffusion.cfg import classifier_free
 from dmme_tpu.diffusion.edm import EDM
 from dmme_tpu.diffusion.distill import ProgressiveDistillation
+from dmme_tpu.diffusion.factory import make_sampler
 
 __all__ = [
     "DDPM",
@@ -31,4 +32,5 @@ __all__ = [
     "classifier_free",
     "EDM",
     "ProgressiveDistillation",
+    "make_sampler",
 ]

@@ -80,6 +80,13 @@ class ProgressiveDistillation:
         schedule=None,
     ) -> "ProgressiveDistillation":
         assert student_steps >= 1
+        # the teacher grid has 2N points over T steps; with 2N > T,
+        # linear_tau produces DUPLICATE τ values and the teacher's "two
+        # steps" silently degenerate to one (zero training signal there)
+        assert 2 * student_steps <= timesteps, (
+            f"teacher grid 2·{student_steps} exceeds timesteps={timesteps}; "
+            f"start distillation at student_steps <= timesteps // 2"
+        )
         if schedule is None:
             beta = eq.ddpm.linear_schedule(timesteps, start, end)
             schedule = eq.ddpm.schedule_from_beta(beta)

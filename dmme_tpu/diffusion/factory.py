@@ -1,0 +1,85 @@
+"""Generation-time sampler override — one shared factory.
+
+Used by both the ``sample`` CLI subcommand and the HTTP server so the
+sampler-name → algorithm mapping cannot drift between them. The override
+REUSES the trained model's schedule and output parameterization (a
+cosine-schedule IDDPM served through DPM-Solver must integrate the ᾱ it
+was trained on — rebuilding a default linear schedule would silently
+produce garbage), and adapts variance-learning (2C-channel) models to the
+ε-only contract via ``models.eps_only``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import dmme_tpu.equations as eq
+from dmme_tpu.diffusion.ddim import DDIM
+from dmme_tpu.diffusion.dpm_solver import DPMSolverPP
+from dmme_tpu.diffusion.edm import EDM
+from dmme_tpu.diffusion.iddpm import IDDPM
+
+STEP_DEFAULTS = {"ddim": 50, "dpm": 20, "edm": 18}
+
+
+def make_sampler(
+    base, name: str, steps: Optional[int] = None
+) -> Tuple[object, Callable]:
+    """(algorithm, model_fn_adapter) for sampling a trained model with a
+    different solver.
+
+    ``base`` is the TRAINED algorithm (source of schedule, timesteps, and
+    parameterization). ``name`` ∈ ddim | dpm | edm. The adapter wraps the
+    model_fn (identity except for IDDPM models, whose ε‖v output is
+    sliced to ε). EDM override applies only to EDM-trained models — the
+    network is σ-conditioned, not t-conditioned.
+    """
+    if name not in STEP_DEFAULTS:
+        raise ValueError(f"unknown sampler {name!r} (ddim|dpm|edm)")
+    steps = int(steps or STEP_DEFAULTS[name])
+
+    def identity(fn):
+        return fn
+
+    if name == "edm":
+        if not isinstance(base, EDM):
+            raise ValueError(
+                "sampler=edm needs an EDM-trained model (σ-conditioned "
+                "network); discrete-t models can use ddim or dpm"
+            )
+        return EDM.create(steps=steps), identity
+
+    schedule = getattr(base, "schedule", None)
+    if schedule is None:
+        raise ValueError(
+            f"sampler={name!r} needs a discrete-schedule model; "
+            f"{type(base).__name__} has none (EDM models sample with "
+            "sampler=edm)"
+        )
+    timesteps = int(getattr(base, "timesteps"))
+    par = getattr(base, "parameterization", "eps")
+
+    adapter = identity
+    if isinstance(base, IDDPM):
+        from dmme_tpu.models import eps_only
+
+        adapter = eps_only
+
+    if name == "ddim":
+        algo = DDIM(
+            schedule=schedule,
+            timesteps=timesteps,
+            tau=eq.ddim.quadratic_tau(timesteps, steps),
+            sub_timesteps=steps,
+            eta=0.0,
+            variant="canonical",
+            parameterization=par,
+        )
+    else:  # dpm
+        algo = DPMSolverPP.create(
+            timesteps,
+            sub_timesteps=steps,
+            schedule=schedule,
+            parameterization=par,
+        )
+    return algo, adapter

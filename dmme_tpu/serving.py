@@ -54,25 +54,6 @@ class Sampler:
         self._cache: Dict[Tuple[str, int, int], Any] = {}
         self._lock = threading.Lock()
 
-    def _algo(self, sampler: str, steps: Optional[int]):
-        from dmme_tpu.diffusion import DDIM, DPMSolverPP, EDM
-
-        base = self.lit.diffusion_model
-        if sampler == "default":
-            return base, None
-        T = getattr(base, "timesteps", 1000)
-        par = getattr(base, "parameterization", "eps")
-        if sampler == "ddim":
-            return DDIM.create(T, sub_timesteps=steps or 50, parameterization=par), None
-        if sampler == "dpm":
-            return (
-                DPMSolverPP.create(T, sub_timesteps=steps or 20, parameterization=par),
-                None,
-            )
-        if sampler == "edm":
-            return EDM.create(steps=steps or 18), None
-        raise ValueError(f"unknown sampler {sampler!r} (default|ddim|dpm|edm)")
-
     def sample(self, n: int, sampler: str = "default",
                steps: Optional[int] = None, seed: int = 0) -> np.ndarray:
         """(n, H, W, C) float32 in [0, 1]."""
@@ -83,17 +64,30 @@ class Sampler:
         with self._lock:  # one accelerator: serialize generation
             gen = self._cache.get(key)
             if gen is None:
-                algo, _ = self._algo(sampler, steps)
                 shape = (bucket, self.img_size, self.img_size,
                          self.lit.img_channels)
-
-                def gen(rng, _algo=algo, _shape=shape):
-                    if sampler == "default":
+                if sampler == "default":
+                    def raw(rng, _shape=shape):
                         return self.lit.generate(self.state, rng, _shape)
-                    return _algo.generate(
-                        self.lit.model_fn, self.state.ema_params, rng, _shape
-                    )
+                else:
+                    # shared factory with the sample subcommand: reuses the
+                    # trained schedule/parameterization and adapts IDDPM's
+                    # eps||v output (dmme_tpu.diffusion.factory)
+                    from dmme_tpu.diffusion import make_sampler
 
+                    algo, adapt = make_sampler(
+                        self.lit.diffusion_model, sampler, steps
+                    )
+                    model_fn = adapt(self.lit.model_fn)
+
+                    def raw(rng, _algo=algo, _fn=model_fn, _shape=shape):
+                        return _algo.generate(
+                            _fn, self.state.ema_params, rng, _shape
+                        )
+
+                # jit so steady state never re-traces the sampling scan
+                # (state arrays are captured as compile-time constants)
+                gen = jax.jit(raw)
                 self._cache[key] = gen
             out = gen(jax.random.PRNGKey(seed))
             out = np.asarray(jax.device_get(denorm(out)), np.float32)

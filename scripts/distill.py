@@ -2,7 +2,7 @@
 
 Usage:
     python scripts/distill.py --config configs/ddpm/cifar10.yaml \
-        --start-steps 512 --rounds 3 --steps-per-round 10000 \
+        --start-steps 500 --rounds 3 --steps-per-round 10000 \
         --out runs/distill
 
 Loads the teacher (model + latest checkpoint from the config's
@@ -25,8 +25,9 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True, help="teacher training config")
-    ap.add_argument("--start-steps", type=int, default=512,
-                    help="first student's sampler steps (teacher uses 2x)")
+    ap.add_argument("--start-steps", type=int, default=None,
+                    help="first student's sampler steps (teacher uses 2x); "
+                    "default = the model's timesteps // 2")
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--steps-per-round", type=int, default=10_000)
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -69,7 +70,9 @@ def main(argv=None):
     )
     timesteps = teacher_lit.diffusion_model.timesteps
 
-    steps = args.start_steps
+    # default: the first round distills the full T-step teacher into T/2
+    # (the teacher grid must fit: 2·steps <= T)
+    steps = args.start_steps if args.start_steps is not None else timesteps // 2
     for k in range(args.rounds):
         pd = ProgressiveDistillation.create(
             timesteps=timesteps,

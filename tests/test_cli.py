@@ -276,3 +276,74 @@ class TestTrainerCLI:
         assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
         b = np.load(files[1])
         assert not np.array_equal(a, b)  # per-batch rng fold_in
+
+    def test_sample_sampler_override_iddpm(self, tmp_path):
+        """Regression (self-review): the override must adapt IDDPM's
+        2C-channel output (eps_only) AND reuse the trained cosine schedule
+        rather than rebuilding a default linear one."""
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            textwrap.dedent(
+                f"""
+                trainer: {{default_root_dir: {tmp_path}/runs2}}
+                model:
+                  class_path: dmme_tpu.training.LitIDDPM
+                  init_args:
+                    timesteps: 8
+                    model:
+                      class_path: dmme_tpu.models.iddpm.UNet
+                      init_args: {{pos_dim: 4, emb_dim: 8, num_groups: 2,
+                                   channels_per_depth: [4, 8, 8, 8], num_blocks: 1}}
+                data:
+                  class_path: dmme_tpu.data.CIFAR10
+                  init_args: {{synthetic: true, synthetic_size: 8, batch_size: 4}}
+                """
+            )
+        )
+        from dmme_tpu.diffusion import make_sampler
+        from dmme_tpu.config import load_config, instantiate
+
+        lit = instantiate(load_config(str(cfg))["model"])
+        algo, _ = make_sampler(lit.diffusion_model, "dpm", 3)
+        import numpy as np
+
+        # schedule reuse: the override's alpha_bar IS the trained cosine one
+        np.testing.assert_array_equal(
+            np.asarray(algo.schedule.alpha_bar),
+            np.asarray(lit.diffusion_model.schedule.alpha_bar),
+        )
+
+        from dmme_tpu.trainer import main
+
+        main(["sample", "--config", str(cfg), "--trainer.sampler", "dpm",
+              "--trainer.sample_steps", "3", "--trainer.sample_batch", "2"])
+        import glob
+
+        assert glob.glob(str(tmp_path / "runs2" / "samples" / "*dpm3*"))
+
+    def test_sample_unknown_sampler_clean_error(self, tmp_path):
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            textwrap.dedent(
+                f"""
+                trainer: {{default_root_dir: {tmp_path}/runs3}}
+                model:
+                  class_path: dmme_tpu.training.LitDDPM
+                  init_args:
+                    timesteps: 6
+                    model:
+                      class_path: dmme_tpu.models.ddpm.UNet
+                      init_args: {{pos_dim: 4, emb_dim: 8, num_groups: 2,
+                                   channels_per_depth: [4, 8, 8, 8], num_blocks: 1}}
+                data:
+                  class_path: dmme_tpu.data.CIFAR10
+                  init_args: {{synthetic: true, synthetic_size: 8, batch_size: 4}}
+                """
+            )
+        )
+        from dmme_tpu.trainer import main
+
+        # no sample_steps given: must be the informative ValueError, not a
+        # KeyError from the step-defaults dict (self-review finding)
+        with pytest.raises(ValueError, match="unknown sampler"):
+            main(["sample", "--config", str(cfg), "--trainer.sampler", "heun"])
