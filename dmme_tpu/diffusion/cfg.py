@@ -45,9 +45,11 @@ def classifier_free(
         null_label: the unconditional token index (for the shared UNet:
             ``num_classes`` — the extra embedding row).
 
-    For models with extra output channels (e.g. IDDPM's ε‖v), guidance is
-    applied to the WHOLE output; the learned-variance channels interpolate
-    the same way — the convention of the guided-diffusion codebase.
+    For models with doubled output channels (IDDPM's ε‖v), guidance applies
+    to the ε half ONLY; the learned-variance channels pass through from the
+    CONDITIONAL branch unmodified — the guided-diffusion convention
+    (extrapolating v with w > 1 would push the variance-interpolation
+    coefficient out of [0, 1] and mis-calibrate the ancestral step noise).
     """
     w = float(guidance_scale)
 
@@ -62,6 +64,12 @@ def classifier_free(
         )
         out = model_fn(params, xx, tt, y=yy, train=train, rngs=rngs)
         cond, uncond = out[:n], out[n:]
+        if out.shape[-1] == 2 * x.shape[-1]:  # ε‖v: guide ε, keep cond v
+            c_eps, c_v = jnp.split(cond, 2, axis=-1)
+            u_eps, _ = jnp.split(uncond, 2, axis=-1)
+            return jnp.concatenate(
+                [u_eps + w * (c_eps - u_eps), c_v], axis=-1
+            )
         return uncond + w * (cond - uncond)
 
     return guided

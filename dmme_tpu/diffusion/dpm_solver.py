@@ -93,18 +93,40 @@ class DPMSolverPP:
         params: Any,
         rng: jax.Array,
         img_shape: Tuple[int, ...],
+        *,
+        history_length=None,
     ) -> jax.Array:
         """x_T ~ N(0, I) → x_0 in ``sub_timesteps`` network evaluations.
 
         rng handling matches the other samplers (split; the solver itself is
         deterministic) so the same key yields the same x_T across samplers.
+        Supports the same ``history_length`` frame-capture contract as the
+        other samplers so it is drop-in as a Lit ``diffusion_model``
+        (GenerateImage callback, sample subcommand).
         """
         x_key, _ = jax.random.split(rng)
         x_t = jax.random.normal(x_key, img_shape, jnp.float32)
         idxs = jnp.arange(self.sub_timesteps, 0, -1, dtype=jnp.int32)  # S..1
 
+        capture = None
+        if history_length is not None:
+            idx = (
+                jnp.linspace(0, self.sub_timesteps - 1, history_length)
+                .round()
+                .astype(jnp.int32)
+            )
+            want = jnp.zeros((self.sub_timesteps,), jnp.bool_).at[idx].set(True)
+            slot = jnp.cumsum(want) - 1
+            capture = (want, slot)
+            history0 = jnp.zeros(
+                (history_length,) + tuple(img_shape), jnp.float32
+            )
+
         def body(carry, i):
-            x, prev_x0, prev_h = carry
+            if capture is None:
+                x, prev_x0, prev_h = carry
+            else:
+                (x, prev_x0, prev_h), hist = carry
             t = self.tau[i]
             t_prev = self.tau[i - 1]
             a_t, s_t, lam_t = self._coeffs(t)
@@ -134,8 +156,19 @@ class DPMSolverPP:
                 use_first = (prev_h == 0.0) | (t_prev == 0)
                 new_x = jnp.where(use_first, first, second)
 
-            return (new_x, x0, h), None
+            if capture is None:
+                return (new_x, x0, h), None
+            want, slot = capture
+            k = self.sub_timesteps - i  # 0-based step index
+            frame = jnp.where(want[k], new_x, hist[slot[k]])
+            hist = jax.lax.dynamic_update_slice(
+                hist, frame[None], (slot[k],) + (0,) * new_x.ndim
+            )
+            return ((new_x, x0, h), hist), None
 
         init = (x_t, jnp.zeros_like(x_t), jnp.float32(0.0))
-        (x_0, _, _), _ = jax.lax.scan(body, init, idxs)
-        return x_0
+        if capture is None:
+            (x_0, _, _), _ = jax.lax.scan(body, init, idxs)
+            return x_0
+        ((x_0, _, _), history), _ = jax.lax.scan(body, (init, history0), idxs)
+        return x_0, history

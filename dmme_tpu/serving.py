@@ -78,11 +78,12 @@ class Sampler:
                     algo, adapt = make_sampler(
                         self.lit.diffusion_model, sampler, steps
                     )
-                    model_fn = adapt(self.lit.model_fn)
 
-                    def raw(rng, _algo=algo, _fn=model_fn, _shape=shape):
+                    def raw(rng, _algo=algo, _adapt=adapt, _shape=shape):
+                        # conditional models: CFG wrapper w/ uniform labels
+                        fn, rng = self.lit.sampling_model_fn(rng, _shape[0])
                         return _algo.generate(
-                            _fn, self.state.ema_params, rng, _shape
+                            _adapt(fn), self.state.ema_params, rng, _shape
                         )
 
                 # jit so steady state never re-traces the sampling scan

@@ -171,8 +171,10 @@ def cmd_sample(config: Dict[str, Any]) -> None:
         algo, adapt = make_sampler(
             model.diffusion_model, sampler, tc.get("sample_steps")
         )
+        # conditional models sample through the CFG wrapper (uniform labels)
+        model_fn, key = model.sampling_model_fn(jax.random.PRNGKey(step), n)
         out = algo.generate(
-            adapt(model.model_fn), state.ema_params, jax.random.PRNGKey(step),
+            adapt(model_fn), state.ema_params, key,
             (n, img_size, img_size, model.img_channels),
         )
         grid = make_history([np.asarray(denorm(out))])

@@ -60,16 +60,31 @@ def validate(
     params = state.ema_params if use_ema else state.params
 
     def eval_loss(p, rng_, batch):
-        x = datamodule.process(batch)
-        return lit.diffusion_model.loss(lit.model_fn, p, rng_, x, train=False)
+        # labeled datamodules (with_labels=True, the CFG setup) yield
+        # (images, labels) tuples; conditional models eval conditioned on
+        # the true labels (no dropout), unconditional models drop them
+        if isinstance(batch, (tuple, list)):
+            x, y = batch
+        else:
+            x, y = batch, None
+        x = datamodule.process(x)
+        model_fn = lit.model_fn
+        if y is not None and getattr(lit, "num_classes", None) is not None:
+            y = jnp.asarray(y, jnp.int32)
+
+            def model_fn(p_, xt, t, *, train=False, rngs=None):
+                return lit.model_fn(p_, xt, t, y=y, train=train, rngs=rngs)
+
+        return lit.diffusion_model.loss(model_fn, p, rng_, x, train=False)
 
     step = make_eval_step(eval_loss)
     losses = []
     for i, batch in enumerate(datamodule.test_iter()):
         if max_batches is not None and i >= max_batches:
             break
+        batch = jax.tree.map(jnp.asarray, batch)
         losses.append(
-            float(jax.device_get(step(params, jnp.asarray(batch), jax.random.fold_in(rng, i))))
+            float(jax.device_get(step(params, batch, jax.random.fold_in(rng, i))))
         )
     return {
         "val/loss": float(np.mean(losses)) if losses else float("nan"),
@@ -129,6 +144,27 @@ def test(
 
     params = state.ema_params if use_ema else state.params
 
+    # Conditional models generate through the CFG wrapper. Labels must be a
+    # TRACED argument (closing the wrapper over each batch's y would make a
+    # fresh static model_fn per batch -> recompile of the full reverse scan
+    # every batch).
+    conditional = getattr(lit, "num_classes", None) is not None
+    if conditional:
+        from dmme_tpu.diffusion import classifier_free
+
+        def _generate(params_, rng_, y, shape):
+            fn = classifier_free(
+                lit.model_fn, y, getattr(lit, "guidance_scale", 1.0),
+                null_label=lit.num_classes,
+            )
+            return lit.diffusion_model.generate(fn, params_, rng_, shape)
+
+        gen_static = (3,)
+        gen_fn = _generate
+    else:
+        gen_static = (0, 3)
+        gen_fn = lit.diffusion_model.generate
+
     place = None
     if mesh is not None:
         from dmme_tpu.parallel.mesh import batch_sharding, replicated
@@ -136,30 +172,46 @@ def test(
         params = jax.device_put(params, replicated(mesh))
         bs = batch_sharding(mesh)
         gen = jax.jit(
-            lit.diffusion_model.generate,
-            static_argnums=(0, 3),
+            gen_fn,
+            static_argnums=gen_static,
             out_shardings=bs,  # SPMD partitions the whole reverse scan
         )
 
         def place(x):
             return jax.device_put(x, bs)
     else:
-        gen = jax.jit(lit.diffusion_model.generate, static_argnums=(0, 3))
+        gen = jax.jit(gen_fn, static_argnums=gen_static)
 
     n_batches = 0
     for i, batch in enumerate(datamodule.test_iter()):
         if max_batches is not None and i >= max_batches:
             break
-        real = jnp.asarray(batch).astype(jnp.float32) / 255.0  # [0,1]
+        if isinstance(batch, (tuple, list)):  # labeled (CFG) datamodule
+            images, labels = batch
+        else:
+            images, labels = batch, None
+        real = jnp.asarray(images).astype(jnp.float32) / 255.0  # [0,1]
         if place is not None:
             real = place(real)
         if fid_stats is None:  # precomputed stats skip the real pass
             feats, _ = feature_fn(real)
             fid.update(feats, real=True)
 
-        fake = gen(
-            lit.model_fn, params, jax.random.fold_in(rng, i), real.shape
-        )
+        gen_rng = jax.random.fold_in(rng, i)
+        if conditional:
+            # condition on the batch's true labels when available
+            # (class-balanced FID — guided-diffusion convention), else
+            # draw classes uniformly
+            if labels is not None:
+                y = jnp.asarray(labels, jnp.int32)
+            else:
+                y_key, gen_rng = jax.random.split(gen_rng)
+                y = jax.random.randint(
+                    y_key, (real.shape[0],), 0, lit.num_classes, jnp.int32
+                )
+            fake = gen(params, gen_rng, y, real.shape)
+        else:
+            fake = gen(lit.model_fn, params, gen_rng, real.shape)
         fake = denorm(fake)  # [-1,1] -> [0,1]
         feats, logits = feature_fn(fake)
         fid.update(feats, real=False)

@@ -47,6 +47,7 @@ class LitDDPM:
         cond_dropout: float = 0.1,
         parameterization: str = "eps",
         snr_gamma: Optional[float] = None,
+        guidance_scale: float = 1.0,
     ) -> None:
         self.lr = lr
         self.warmup = warmup
@@ -62,6 +63,9 @@ class LitDDPM:
         # class-conditional model + label dropout to the null token.
         self.num_classes = num_classes
         self.cond_dropout = cond_dropout
+        #: sampling-time classifier-free guidance weight (1.0 = plain
+        #: conditional; only used when num_classes is set)
+        self.guidance_scale = guidance_scale
 
         if model is None:
             model = model_lib.ddpm.UNet(
@@ -158,17 +162,44 @@ class LitDDPM:
         *,
         use_ema: Optional[bool] = None,
         history_length: Optional[int] = None,
+        y: Optional[jax.Array] = None,
     ):
         """Sample with the EMA weights (the reference swaps to EMA for eval —
         callbacks/ema.py:72-94; here EMA params are read directly).
 
         ``use_ema=None`` resolves from ``validate_original_weights``
-        (reference EMA knob, callbacks/ema.py:27-46)."""
+        (reference EMA knob, callbacks/ema.py:27-46).
+
+        Class-conditional models sample through classifier-free guidance
+        (diffusion/cfg.py) at ``guidance_scale``: ``y`` gives the classes
+        to generate; ``y=None`` draws them uniformly — so GenerateImage /
+        sample / test all work on CFG models without extra wiring."""
         if use_ema is None:
             use_ema = not self.validate_original_weights
         params = state.ema_params if use_ema else state.params
+        model_fn, rng = self.sampling_model_fn(rng, img_shape[0], y)
         return self.diffusion_model.generate(
-            self.model_fn, params, rng, img_shape, history_length=history_length
+            model_fn, params, rng, img_shape, history_length=history_length
+        )
+
+    def sampling_model_fn(self, rng, n: int, y=None):
+        """(model_fn, rng) for sampling: unconditional models pass through;
+        class-conditional models get the classifier-free wrapper with
+        given/uniform labels (see :meth:`generate`)."""
+        if self.num_classes is None:
+            return self.model_fn, rng
+        from dmme_tpu.diffusion import classifier_free
+
+        y_key, rng = jax.random.split(rng)
+        if y is None:
+            y = jax.random.randint(
+                y_key, (n,), 0, self.num_classes, dtype=jnp.int32
+            )
+        return (
+            classifier_free(
+                self.model_fn, y, self.guidance_scale, null_label=self.num_classes
+            ),
+            rng,
         )
 
 
@@ -334,7 +365,14 @@ class LitIDDPM(LitDDPM):
         **kwargs,
     ):
         if model is None:
-            model = model_lib.iddpm.UNet(in_channels=img_channels, dtype=dtype)
+            # num_classes must reach the default UNet here — LitDDPM's own
+            # conditional-model default never runs for LitIDDPM (model is
+            # built before super().__init__), and a silently-unconditional
+            # model would discard the labels without error
+            model = model_lib.iddpm.UNet(
+                in_channels=img_channels, dtype=dtype,
+                num_classes=kwargs.get("num_classes"),
+            )
         if diffusion_model is None:
             diffusion_model = IDDPM.create(
                 timesteps, loss_type, gamma, schedule, offset, start, end
@@ -360,6 +398,7 @@ class LitIDDPM(LitDDPM):
         if use_ema is None:
             use_ema = not self.validate_original_weights
         params = state.ema_params if use_ema else state.params
+        model_fn, rng = self.sampling_model_fn(rng, img_shape[0])
         return self.sample_algorithm.generate(
-            self.model_fn, params, rng, img_shape, history_length=history_length
+            model_fn, params, rng, img_shape, history_length=history_length
         )

@@ -177,15 +177,25 @@ def _fit_once(
     import inspect
 
     skip = start_step * max(accumulate_grad_batches, 1)
+    try:
+        it_params = inspect.signature(datamodule.train_iter).parameters
+    except (TypeError, ValueError):
+        it_params = {}
+    supports_skip = "skip_batches" in it_params
     it_kwargs = {}
     if nproc > 1:
+        # capability-gated like skip_batches: a user datamodule with the
+        # documented train_iter(seed) signature must not crash multi-process
+        # — but silently feeding every host the SAME data would duplicate
+        # batches across the global batch, so refuse loudly instead.
+        if "process_index" not in it_params:
+            raise ValueError(
+                f"{type(datamodule).__name__}.train_iter does not accept "
+                "process_index/process_count — required for multi-process "
+                "training (each host must feed its shard of the global "
+                "batch; see data/data_module.py)"
+            )
         it_kwargs.update(process_index=jax.process_index(), process_count=nproc)
-    try:
-        supports_skip = "skip_batches" in inspect.signature(
-            datamodule.train_iter
-        ).parameters
-    except (TypeError, ValueError):
-        supports_skip = False
     if supports_skip:
         it = datamodule.train_iter(seed, skip_batches=skip, **it_kwargs)
     else:
@@ -246,7 +256,8 @@ def _train_loop(
             batch = next(it)
             if accumulate_grad_batches > 1:
                 micro = [next(it) for _ in range(accumulate_grad_batches - 1)]
-                batch = np.stack([batch] + micro)
+                # pytree-aware: labeled datamodules yield (images, labels)
+                batch = jax.tree.map(lambda *xs: np.stack(xs), batch, *micro)
         if place_batch is not None:
             batch = place_batch(batch, chunked)
         state, metrics = train_step(state, batch, run_rng)

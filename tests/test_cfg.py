@@ -136,3 +136,112 @@ class TestCFGTraining:
         dm = CIFAR10(synthetic=True, synthetic_size=16, batch_size=8, with_labels=True)
         state = fit(lit, dm, max_steps=2, seed=0, log_every=10)
         assert int(jax.device_get(state.step)) == 2
+
+
+class TestReviewRegressions:
+    """Fixes from the round-2 self-review (see commit message)."""
+
+    def test_cfg_guides_eps_only_for_variance_models(self):
+        """ε‖v output: w applies to ε; v passes through from the COND branch
+        (guided-diffusion convention) — extrapolated v would leave [0,1]."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dmme_tpu.diffusion import classifier_free
+
+        C = 2
+
+        def model(params, x, t, y=None, train=False, rngs=None):
+            # eps depends on label; v is label-dependent too (to detect
+            # which branch the v-half comes from)
+            lab = y.reshape((-1,) + (1,) * (x.ndim - 1)).astype(jnp.float32)
+            eps = x * 0 + lab
+            v = x * 0 + 10.0 + lab
+            return jnp.concatenate([eps, v], axis=-1)
+
+        x = jnp.zeros((2, 4, 4, C), jnp.float32)
+        t = jnp.zeros((2,), jnp.int32)
+        y = jnp.asarray([1, 1], jnp.int32)
+        out = classifier_free(model, y, guidance_scale=3.0, null_label=5)(
+            None, x, t
+        )
+        eps, v = jnp.split(out, 2, axis=-1)
+        # eps: uncond(5) + 3*(cond(1) - uncond(5)) = 5 + 3*(-4) = -7
+        np.testing.assert_allclose(np.asarray(eps), -7.0, atol=1e-5)
+        # v: conditional branch verbatim = 10 + 1 (NOT extrapolated = 10-11)
+        np.testing.assert_allclose(np.asarray(v), 11.0, atol=1e-5)
+
+    def test_lit_iddpm_num_classes_reaches_default_unet(self):
+        from dmme_tpu.training import LitIDDPM
+
+        lit = LitIDDPM(timesteps=8, num_classes=10)  # default model path
+        assert lit.model.num_classes == 10
+
+    def test_conditional_generate_end_to_end(self):
+        """Sampling a CFG-trained model through lit.generate must work (it
+        used to trip the UNet's y-assertion via the GenerateImage path)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dmme_tpu.models import ddpm as ddpm_models
+        from dmme_tpu.training import LitDDPM
+
+        lit = LitDDPM(
+            model=ddpm_models.UNet(
+                pos_dim=4, emb_dim=8, num_groups=2,
+                channels_per_depth=(4, 8, 8, 8), num_blocks=1, num_classes=3,
+            ),
+            timesteps=6, warmup=10, num_classes=3, guidance_scale=2.0,
+        )
+        state = lit.init_state(jax.random.PRNGKey(0), img_size=8)
+        out = lit.generate(state, jax.random.PRNGKey(1), (2, 8, 8, 3))
+        assert out.shape == (2, 8, 8, 3) and bool(jnp.all(jnp.isfinite(out)))
+        # explicit labels work too
+        out2 = lit.generate(
+            state, jax.random.PRNGKey(1), (2, 8, 8, 3),
+            y=jnp.asarray([0, 2], jnp.int32),
+        )
+        assert out2.shape == (2, 8, 8, 3)
+
+    def test_validate_with_labeled_datamodule(self, tmp_path):
+        from dmme_tpu.data import CIFAR10
+        from dmme_tpu.models import ddpm as ddpm_models
+        from dmme_tpu.training import LitDDPM
+        from dmme_tpu.training.evaluate import validate
+
+        lit = LitDDPM(
+            model=ddpm_models.UNet(
+                pos_dim=4, emb_dim=8, num_groups=2,
+                channels_per_depth=(4, 8, 8, 8), num_blocks=1, num_classes=10,
+            ),
+            timesteps=6, warmup=10, num_classes=10,
+        )
+        dm = CIFAR10(synthetic=True, synthetic_size=16, batch_size=8,
+                     with_labels=True)
+        res = validate(lit, dm, max_batches=1)
+        assert res["num_batches"] == 1
+        import math
+
+        assert math.isfinite(res["val/loss"])
+
+    def test_fit_accumulate_with_labels(self, tmp_path):
+        """Gradient accumulation over (images, labels) tuple batches
+        (np.stack on tuples used to crash)."""
+        from dmme_tpu.data import CIFAR10
+        from dmme_tpu.models import ddpm as ddpm_models
+        from dmme_tpu.training import LitDDPM, fit
+
+        lit = LitDDPM(
+            model=ddpm_models.UNet(
+                pos_dim=4, emb_dim=8, num_groups=2,
+                channels_per_depth=(4, 8, 8, 8), num_blocks=1, num_classes=10,
+            ),
+            timesteps=6, warmup=10, num_classes=10,
+        )
+        dm = CIFAR10(synthetic=True, synthetic_size=32, batch_size=4,
+                     with_labels=True)
+        state = fit(lit, dm, max_steps=2, accumulate_grad_batches=2,
+                    log_every=100)
+        import jax
+
+        assert int(jax.device_get(state.step)) == 2

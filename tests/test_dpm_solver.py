@@ -109,3 +109,26 @@ class TestEpsOnlyAdapter:
             out = algo.generate(fn, params, jax.random.PRNGKey(1), (2, 8, 8, 3))
             assert out.shape == (2, 8, 8, 3)
             assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestDPMHistory:
+    def test_history_contract(self):
+        """history_length works like the other samplers (Lit drop-in)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dmme_tpu.diffusion import DPMSolverPP
+
+        def model(params, x, t, train=False, rngs=None):
+            return jnp.tanh(x)
+
+        algo = DPMSolverPP.create(20, sub_timesteps=5)
+        x0, hist = algo.generate(
+            model, None, jax.random.PRNGKey(0), (2, 4, 4, 3), history_length=3
+        )
+        assert hist.shape == (3, 2, 4, 4, 3)
+        np.testing.assert_allclose(np.asarray(hist[-1]), np.asarray(x0), atol=0)
+        # without history: same final state
+        x0_plain = algo.generate(model, None, jax.random.PRNGKey(0), (2, 4, 4, 3))
+        np.testing.assert_allclose(np.asarray(x0_plain), np.asarray(x0), atol=0)

@@ -265,3 +265,14 @@ class TestFusedResBlock:
         params = block.init({"params": rng, "dropout": jax.random.PRNGKey(9)}, x, emb)
         out = block.apply(params, x, emb, rngs={"dropout": jax.random.PRNGKey(5)})
         assert out.shape == (2, 8, 8, 16)
+
+
+class TestBlockPicker:
+    def test_block_multiple_of_8(self):
+        """n=12 must fall back (0), not return a 12-row block that violates
+        the (B % 8 == 0) sublane constraint (self-review finding)."""
+        from dmme_tpu.ops.group_norm import _pick_block_n
+
+        assert _pick_block_n(12, 32, 32, 128, 2) == 0
+        assert _pick_block_n(16, 32, 32, 128, 2) in (8, 16)
+        assert _pick_block_n(128, 32, 32, 128, 2) % 8 == 0
