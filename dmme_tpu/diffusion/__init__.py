@@ -18,6 +18,7 @@ from dmme_tpu.diffusion.cfg import classifier_free
 from dmme_tpu.diffusion.edm import EDM
 from dmme_tpu.diffusion.distill import ProgressiveDistillation
 from dmme_tpu.diffusion.factory import make_sampler
+from dmme_tpu.diffusion.deep_cache import DeepCachedDDIM
 
 __all__ = [
     "DDPM",
@@ -33,4 +34,5 @@ __all__ = [
     "EDM",
     "ProgressiveDistillation",
     "make_sampler",
+    "DeepCachedDDIM",
 ]

@@ -37,6 +37,9 @@ class LayerSpec:
     kind: Literal["res", "down", "up"]
     c_out: int
     attention: bool = False
+    #: resolution depth of this layer's OUTPUT (1 = input resolution);
+    #: drives the deep-cache split (diffusion/deep_cache.py)
+    depth: int = 0
 
 
 def build_topology(
@@ -63,13 +66,18 @@ def build_topology(
     down = []
     depth = 1
     for i in range(len(ladder) - 1):
-        down.append(LayerSpec("res", ladder[i + 1], depth in attn))
+        down.append(LayerSpec("res", ladder[i + 1], depth in attn, depth))
         if (i + 1) in boundaries:
-            down.append(LayerSpec("down", ladder[i + 1]))
+            # a DownSample's OUTPUT is at the next depth
+            down.append(LayerSpec("down", ladder[i + 1], depth=depth + 1))
             depth += 1
 
     c_mid = ladder[-1]
-    middle = (LayerSpec("res", c_mid, True), LayerSpec("res", c_mid, False))
+    d_mid = len(cpd)
+    middle = (
+        LayerSpec("res", c_mid, True, d_mid),
+        LayerSpec("res", c_mid, False, d_mid),
+    )
 
     up = []
     rev = ladder[::-1]
@@ -78,12 +86,13 @@ def build_topology(
         c_out = rev[i + 1]
         with_attention = depth in attn
         layer_num = len(ladder) - 1 - i
-        up.append(LayerSpec("res", c_out, with_attention))
+        up.append(LayerSpec("res", c_out, with_attention, depth))
         if (layer_num - 1) in boundaries:
-            up.append(LayerSpec("res", c_out, with_attention))
-            up.append(LayerSpec("up", c_out))
+            up.append(LayerSpec("res", c_out, with_attention, depth))
+            # an UpSample's OUTPUT is at the next-shallower depth
+            up.append(LayerSpec("up", c_out, depth=depth - 1))
             depth -= 1
-    up.append(LayerSpec("res", ladder[0], 1 in attn))
+    up.append(LayerSpec("res", ladder[0], 1 in attn, 1))
 
     return tuple(down), middle, tuple(up)
 
@@ -139,6 +148,9 @@ class UNet(nn.Module):
         train: bool = False,
         return_features: bool = False,
         cached=None,
+        cache_depth: Optional[int] = None,
+        deep_cache: Optional[jax.Array] = None,
+        return_deep: bool = False,
     ):
         """Predict noise (and variance interpolation if configured) from NHWC ``x``.
 
@@ -152,10 +164,35 @@ class UNet(nn.Module):
                 down path and decodes with the CURRENT timestep embedding
                 (encoder-reuse fast sampling, "Faster Diffusion"-style;
                 see dmme_tpu.diffusion.fast).
+            cache_depth: with ``return_deep``/``deep_cache``, the boundary
+                for DEEP-feature caching ("DeepCache"-style,
+                dmme_tpu.diffusion.deep_cache): resolution depths
+                > cache_depth form the cached core. ``return_deep=True``
+                also returns the deep-core output; ``deep_cache=<that
+                array>`` skips the whole core (down suffix + middle + up
+                prefix) and decodes the shallow layers with fresh skips
+                and the CURRENT timestep embedding.
         """
         down_specs, middle_specs, up_specs = build_topology(
             self.channels_per_depth, self.num_blocks, self.attention_depths
         )
+
+        n_shallow_down = n_deep_up = None
+        if cache_depth is not None:
+            assert cached is None, "deep cache and encoder cache are exclusive"
+            assert 1 <= cache_depth < len(self.channels_per_depth), cache_depth
+            n_shallow_down = sum(1 for s in down_specs if s.depth <= cache_depth)
+            assert all(s.depth <= cache_depth for s in down_specs[:n_shallow_down])
+            assert all(s.depth > cache_depth for s in down_specs[n_shallow_down:])
+            # the deep core's last layer is the UpSample returning to
+            # cache_depth resolution
+            n_deep_up = (
+                next(
+                    i for i, s in enumerate(up_specs)
+                    if s.kind == "up" and s.depth == cache_depth
+                )
+                + 1
+            )
 
         block_cls = nn.remat(ResBlock) if self.remat else ResBlock
 
@@ -188,6 +225,7 @@ class UNet(nn.Module):
                 name="class_embed",
             )(y)
 
+        reuse_deep = deep_cache is not None
         if cached is None:
             x = x.astype(self.dtype)
             h = conv3x3(
@@ -196,7 +234,8 @@ class UNet(nn.Module):
             )(x)
 
             skips = [h]
-            for i, spec in enumerate(down_specs):
+            n_down = n_shallow_down if reuse_deep else len(down_specs)
+            for i, spec in enumerate(down_specs[:n_down]):
                 if spec.kind == "res":
                     h = res(spec, f"down_{i}")(h, emb)
                 else:
@@ -209,15 +248,28 @@ class UNet(nn.Module):
             skips = list(skips)
         features = (h, tuple(skips))
 
-        for i, spec in enumerate(middle_specs):
-            h = res(spec, f"middle_{i}")(h, emb)
+        deep = None
+        if reuse_deep:
+            # the entire deep core (down suffix + middle + up prefix) is
+            # replaced by the cached deep-out; decode shallow layers with
+            # fresh skips and the CURRENT timestep embedding
+            h = deep_cache.astype(self.dtype)
+            up_start = n_deep_up
+        else:
+            for i, spec in enumerate(middle_specs):
+                h = res(spec, f"middle_{i}")(h, emb)
+            up_start = 0
 
         for i, spec in enumerate(up_specs):
+            if i < up_start:
+                continue
             if spec.kind == "res":
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = res(spec, f"up_{i}")(h, emb)
             else:
                 h = Upsample(spec.c_out, self.dtype, self.param_dtype, name=f"up_{i}")(h)
+            if return_deep and n_deep_up is not None and i == n_deep_up - 1:
+                deep = h
         assert not skips, "unconsumed skip connections — topology mismatch"
 
         out_ch = self.out_channels or self.in_channels
@@ -227,6 +279,9 @@ class UNet(nn.Module):
             h = group_norm(self.num_groups, name="out_norm")(h).astype(self.dtype)
             h = nn.silu(h)
         h = conv3x3(out_ch, 1, self.dtype, self.param_dtype, name="output_conv")(h)
+        if return_deep:
+            assert deep is not None, "return_deep requires cache_depth"
+            return h, deep
         if return_features:
             return h, features
         return h

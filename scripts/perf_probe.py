@@ -57,9 +57,22 @@ def sample_main():
     elif variant == "sample_edm":
         # 18-step Heun = 35 NFE (the paper's CIFAR-10 sampling setting)
         algo = EDM.create(steps=18)
+    elif variant.startswith("sample_deep"):
+        # sample_deep[:interval[:depth]] e.g. sample_deep:2:1
+        from dmme_tpu.diffusion import DeepCachedDDIM
+
+        parts = variant.split(":")
+        interval = int(parts[1]) if len(parts) > 1 else 2
+        depth = int(parts[2]) if len(parts) > 2 else 1
+        algo = DeepCachedDDIM.create(
+            timesteps=1000, sub_timesteps=50,
+            refresh_interval=interval, cache_depth=depth,
+        )
     else:
         algo = DDIM.create(timesteps=1000, sub_timesteps=50)
     model_fn = as_model_fn(model)
+    if variant.startswith("sample_deep"):
+        model_fn = model  # DeepCachedDDIM drives the module directly
     gen = jax.jit(algo.generate, static_argnums=(0, 3))
     params = state.ema_params
     out = gen(model_fn, params, jax.random.PRNGKey(1), (BATCH, 32, 32, 3))
