@@ -20,6 +20,40 @@ from dmme_tpu.diffusion.edm import EDM
 from dmme_tpu.diffusion.iddpm import IDDPM
 
 STEP_DEFAULTS = {"ddim": 50, "dpm": 20, "edm": 18}
+MODULE_SAMPLERS = ("cached", "deep")  # drive the UNet module, not a model_fn
+
+
+def make_module_sampler(
+    base,
+    name: str,
+    steps: Optional[int] = None,
+    refresh_interval: int = 2,
+    cache_depth: int = 1,
+):
+    """Algorithm for the module-driven fast samplers (feature-caching):
+    ``cached`` = encoder reuse (CachedDDIM), ``deep`` = deep-core caching
+    (DeepCachedDDIM). These need the UNet module itself (feature-capture
+    API) and do not compose with the CFG wrapper — conditional models must
+    use ddim/dpm. Same trained-schedule reuse rules as make_sampler."""
+    from dmme_tpu.diffusion.deep_cache import DeepCachedDDIM
+    from dmme_tpu.diffusion.fast import CachedDDIM
+
+    assert name in MODULE_SAMPLERS, name
+    schedule = getattr(base, "schedule", None)
+    if schedule is None:
+        raise ValueError(f"sampler={name!r} needs a discrete-schedule model")
+    timesteps = int(getattr(base, "timesteps"))
+    par = getattr(base, "parameterization", "eps")
+    steps = int(steps or 50)
+    common = dict(
+        schedule=schedule, timesteps=timesteps,
+        tau=eq.ddim.quadratic_tau(timesteps, steps),
+        sub_timesteps=steps, eta=0.0, variant="canonical",
+        parameterization=par, refresh_interval=refresh_interval,
+    )
+    if name == "cached":
+        return CachedDDIM(**common)
+    return DeepCachedDDIM(**common, cache_depth=cache_depth)
 
 
 def make_sampler(

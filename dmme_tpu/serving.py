@@ -69,6 +69,25 @@ class Sampler:
                 if sampler == "default":
                     def raw(rng, _shape=shape):
                         return self.lit.generate(self.state, rng, _shape)
+                elif sampler in ("cached", "deep"):
+                    # feature-caching samplers drive the UNet module itself
+                    # (encoder reuse / deep-core caching; docs/performance.md
+                    # — deep@interval-2 is +35% over exact DDIM on v5e)
+                    from dmme_tpu.diffusion.factory import make_module_sampler
+
+                    if getattr(self.lit, "num_classes", None) is not None:
+                        raise ValueError(
+                            f"sampler={sampler!r} does not support "
+                            "class-conditional models; use ddim or dpm"
+                        )
+                    algo = make_module_sampler(
+                        self.lit.diffusion_model, sampler, steps
+                    )
+
+                    def raw(rng, _algo=algo, _shape=shape):
+                        return _algo.generate(
+                            self.lit.model, self.state.ema_params, rng, _shape
+                        )
                 else:
                     # shared factory with the sample subcommand: reuses the
                     # trained schedule/parameterization and adapts IDDPM's
@@ -136,7 +155,7 @@ def make_server(sampler: Sampler, host: str = "127.0.0.1", port: int = 8000):
                 "status": "ok",
                 "step": sampler.step,
                 "img_size": sampler.img_size,
-                "samplers": ["default", "ddim", "dpm", "edm"],
+                "samplers": ["default", "ddim", "dpm", "edm", "cached", "deep"],
             })
 
         def do_POST(self):

@@ -165,18 +165,27 @@ def cmd_sample(config: Dict[str, Any]) -> None:
         import numpy as np
 
         from dmme_tpu.diffusion import make_sampler
+        from dmme_tpu.diffusion.factory import MODULE_SAMPLERS, make_module_sampler
         from dmme_tpu.utils.norm import denorm
         from dmme_tpu.utils.vis import make_history
 
-        algo, adapt = make_sampler(
-            model.diffusion_model, sampler, tc.get("sample_steps")
-        )
-        # conditional models sample through the CFG wrapper (uniform labels)
-        model_fn, key = model.sampling_model_fn(jax.random.PRNGKey(step), n)
-        out = algo.generate(
-            adapt(model_fn), state.ema_params, key,
-            (n, img_size, img_size, model.img_channels),
-        )
+        shape = (n, img_size, img_size, model.img_channels)
+        if sampler in MODULE_SAMPLERS:  # feature-caching (module-driven)
+            algo = make_module_sampler(
+                model.diffusion_model, sampler, tc.get("sample_steps"),
+                refresh_interval=int(tc.get("refresh_interval") or 2),
+                cache_depth=int(tc.get("cache_depth") or 1),
+            )
+            out = algo.generate(
+                model.model, state.ema_params, jax.random.PRNGKey(step), shape
+            )
+        else:
+            algo, adapt = make_sampler(
+                model.diffusion_model, sampler, tc.get("sample_steps")
+            )
+            # conditional models sample through the CFG wrapper (uniform labels)
+            model_fn, key = model.sampling_model_fn(jax.random.PRNGKey(step), n)
+            out = algo.generate(adapt(model_fn), state.ema_params, key, shape)
         grid = make_history([np.asarray(denorm(out))])
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(

@@ -92,3 +92,11 @@ def test_bad_requests_rejected(server_url):
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(server_url, bad)
         assert exc.value.code == 400
+
+
+def test_deep_cached_sampler_via_server(server_url):
+    body, ctype = _post(
+        server_url, {"n": 2, "sampler": "deep", "steps": 4, "format": "npy"}
+    )
+    arr = np.load(io.BytesIO(body))
+    assert arr.shape == (2, 8, 8, 3)
