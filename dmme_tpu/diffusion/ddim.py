@@ -21,7 +21,13 @@ import jax.numpy as jnp
 from flax import struct
 
 import dmme_tpu.equations as eq
-from dmme_tpu.diffusion.ddpm import DDPM, ModelFn, _bcast
+from dmme_tpu.diffusion.ddpm import (
+    DDPM,
+    ModelFn,
+    _bcast,
+    capture_frame,
+    make_history_capture,
+)
 
 
 @struct.dataclass
@@ -112,17 +118,9 @@ class DDIM(DDPM):
         x = jax.random.normal(x_key, img_shape, jnp.float32)
         iis = jnp.arange(self.sub_timesteps, 0, -1, dtype=jnp.int32)
 
-        capture = None
-        if history_length is not None:
-            idx = (
-                jnp.linspace(0, self.sub_timesteps - 1, history_length)
-                .round()
-                .astype(jnp.int32)
-            )
-            want = jnp.zeros((self.sub_timesteps,), jnp.bool_).at[idx].set(True)
-            slot = jnp.cumsum(want) - 1
-            capture = (want, slot)
-            history0 = jnp.zeros((history_length,) + tuple(img_shape), jnp.float32)
+        capture, history0 = make_history_capture(
+            self.sub_timesteps, history_length, img_shape
+        )
 
         def body(carry, i):
             if capture is None:
@@ -132,12 +130,7 @@ class DDIM(DDPM):
             x = self.sampling_step(model_fn, params, x, i, jax.random.fold_in(scan_key, i))
             if capture is None:
                 return x, None
-            want, slot = capture
-            k = self.sub_timesteps - i
-            frame = jnp.where(want[k], x, hist[slot[k]])
-            hist = jax.lax.dynamic_update_slice(
-                hist, frame[None], (slot[k],) + (0,) * x.ndim
-            )
+            hist = capture_frame(capture, hist, self.sub_timesteps - i, x)
             return (x, hist), None
 
         if capture is None:

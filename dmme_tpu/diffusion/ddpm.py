@@ -36,6 +36,32 @@ def _bcast(a: jax.Array, ndim: int) -> jax.Array:
     return a.reshape(a.shape + (1,) * (ndim - a.ndim))
 
 
+def make_history_capture(n_steps: int, history_length, img_shape):
+    """Shared on-device trajectory-capture state for every sampler's
+    ``history_length`` contract: ``history_length`` evenly-spaced frames
+    (always including the final x₀) written into a preallocated buffer.
+
+    Returns ``(capture, history0)`` — ``(None, None)`` when capture is off.
+    """
+    if history_length is None:
+        return None, None
+    idx = jnp.linspace(0, n_steps - 1, history_length).round().astype(jnp.int32)
+    want = jnp.zeros((n_steps,), jnp.bool_).at[idx].set(True)
+    slot = jnp.cumsum(want) - 1
+    history0 = jnp.zeros((history_length,) + tuple(img_shape), jnp.float32)
+    return (want, slot), history0
+
+
+def capture_frame(capture, hist: jax.Array, k, x: jax.Array) -> jax.Array:
+    """Write ``x`` into its slot if 0-based step index ``k`` is a capture
+    point (no-op write of the existing frame otherwise — scan-friendly)."""
+    want, slot = capture
+    frame = jnp.where(want[k], x, hist[slot[k]])
+    return jax.lax.dynamic_update_slice(
+        hist, frame[None], (slot[k],) + (0,) * x.ndim
+    )
+
+
 @struct.dataclass
 class DDPM:
     """Denoising Diffusion Probabilistic Model (Ho et al. 2020).
@@ -188,14 +214,9 @@ class DDPM:
         x_t = jax.random.normal(x_key, img_shape, jnp.float32)
         ts = jnp.arange(self.timesteps, 0, -1, dtype=jnp.int32)
 
-        capture = None
-        if history_length is not None:
-            # frame slots: step index (0-based over the scan) -> history slot
-            idx = jnp.linspace(0, self.timesteps - 1, history_length).round().astype(jnp.int32)
-            want = jnp.zeros((self.timesteps,), jnp.bool_).at[idx].set(True)
-            slot = jnp.cumsum(want) - 1
-            capture = (want, slot)
-            history0 = jnp.zeros((history_length,) + tuple(img_shape), jnp.float32)
+        capture, history0 = make_history_capture(
+            self.timesteps, history_length, img_shape
+        )
 
         def body(carry, t):
             if capture is None:
@@ -206,12 +227,7 @@ class DDPM:
             x = self.sampling_step(model_fn, params, x, t, step_key)
             if capture is None:
                 return x, None
-            want, slot = capture
-            i = self.timesteps - t  # 0-based step index
-            frame = jnp.where(want[i], x, hist[slot[i]])
-            hist = jax.lax.dynamic_update_slice(
-                hist, frame[None], (slot[i],) + (0,) * x.ndim
-            )
+            hist = capture_frame(capture, hist, self.timesteps - t, x)
             return (x, hist), None
 
         if capture is None:

@@ -108,19 +108,11 @@ class DPMSolverPP:
         x_t = jax.random.normal(x_key, img_shape, jnp.float32)
         idxs = jnp.arange(self.sub_timesteps, 0, -1, dtype=jnp.int32)  # S..1
 
-        capture = None
-        if history_length is not None:
-            idx = (
-                jnp.linspace(0, self.sub_timesteps - 1, history_length)
-                .round()
-                .astype(jnp.int32)
-            )
-            want = jnp.zeros((self.sub_timesteps,), jnp.bool_).at[idx].set(True)
-            slot = jnp.cumsum(want) - 1
-            capture = (want, slot)
-            history0 = jnp.zeros(
-                (history_length,) + tuple(img_shape), jnp.float32
-            )
+        from dmme_tpu.diffusion.ddpm import capture_frame, make_history_capture
+
+        capture, history0 = make_history_capture(
+            self.sub_timesteps, history_length, img_shape
+        )
 
         def body(carry, i):
             if capture is None:
@@ -158,12 +150,7 @@ class DPMSolverPP:
 
             if capture is None:
                 return (new_x, x0, h), None
-            want, slot = capture
-            k = self.sub_timesteps - i  # 0-based step index
-            frame = jnp.where(want[k], new_x, hist[slot[k]])
-            hist = jax.lax.dynamic_update_slice(
-                hist, frame[None], (slot[k],) + (0,) * new_x.ndim
-            )
+            hist = capture_frame(capture, hist, self.sub_timesteps - i, new_x)
             return ((new_x, x0, h), hist), None
 
         init = (x_t, jnp.zeros_like(x_t), jnp.float32(0.0))

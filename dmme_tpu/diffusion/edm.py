@@ -43,6 +43,9 @@ class EDM:
 
     sigmas: jax.Array                   # (steps+1,) Karras grid, last = 0
     sigma_data: float = struct.field(pytree_node=False, default=0.5)
+    #: grid-shape exponent, kept so the grid can be rebuilt at a different
+    #: step count with the SAME σ range (diffusion/factory.py)
+    rho: float = struct.field(pytree_node=False, default=7.0)
     p_mean: float = struct.field(pytree_node=False, default=-1.2)
     p_std: float = struct.field(pytree_node=False, default=1.2)
     steps: int = struct.field(pytree_node=False, default=18)
@@ -72,6 +75,7 @@ class EDM:
         return cls(
             sigmas=eq.edm.karras_sigmas(steps, sigma_min, sigma_max, rho),
             sigma_data=sigma_data,
+            rho=rho,
             p_mean=p_mean,
             p_std=p_std,
             steps=steps,
@@ -198,13 +202,11 @@ class EDM:
         x = self.sigmas[0] * jax.random.normal(x_key, img_shape, jnp.float32)
         idxs = jnp.arange(self.steps, dtype=jnp.int32)
 
-        capture = None
-        if history_length is not None:
-            idx = jnp.linspace(0, self.steps - 1, history_length).round().astype(jnp.int32)
-            want = jnp.zeros((self.steps,), jnp.bool_).at[idx].set(True)
-            slot = jnp.cumsum(want) - 1
-            capture = (want, slot)
-            history0 = jnp.zeros((history_length,) + tuple(img_shape), jnp.float32)
+        from dmme_tpu.diffusion.ddpm import capture_frame, make_history_capture
+
+        capture, history0 = make_history_capture(
+            self.steps, history_length, img_shape
+        )
 
         def body(carry, i):
             x = carry if capture is None else carry[0]
@@ -213,11 +215,7 @@ class EDM:
             if capture is None:
                 return x, None
             _, hist = carry
-            want, slot = capture
-            frame = jnp.where(want[i], x, hist[slot[i]])
-            hist = jax.lax.dynamic_update_slice(
-                hist, frame[None], (slot[i],) + (0,) * x.ndim
-            )
+            hist = capture_frame(capture, hist, i, x)
             return (x, hist), None
 
         if capture is None:

@@ -29,16 +29,29 @@ def make_module_sampler(
     steps: Optional[int] = None,
     refresh_interval: int = 2,
     cache_depth: int = 1,
+    conditional: bool = False,
 ):
     """Algorithm for the module-driven fast samplers (feature-caching):
     ``cached`` = encoder reuse (CachedDDIM), ``deep`` = deep-core caching
     (DeepCachedDDIM). These need the UNet module itself (feature-capture
-    API) and do not compose with the CFG wrapper — conditional models must
-    use ddim/dpm. Same trained-schedule reuse rules as make_sampler."""
+    API) and do not compose with the CFG wrapper — pass
+    ``conditional=True`` for class-conditional models to get a clean
+    rejection. Same trained-schedule reuse rules as make_sampler."""
     from dmme_tpu.diffusion.deep_cache import DeepCachedDDIM
     from dmme_tpu.diffusion.fast import CachedDDIM
 
     assert name in MODULE_SAMPLERS, name
+    if conditional:
+        raise ValueError(
+            f"sampler={name!r} does not support class-conditional models "
+            "(feature caching bypasses the CFG wrapper); use ddim or dpm"
+        )
+    if isinstance(base, IDDPM):
+        raise ValueError(
+            f"sampler={name!r} does not support variance-learning (ε‖v) "
+            "models — the cached decoder consumes raw ε; use ddim or dpm "
+            "(which adapt via models.eps_only)"
+        )
     schedule = getattr(base, "schedule", None)
     if schedule is None:
         raise ValueError(f"sampler={name!r} needs a discrete-schedule model")
@@ -81,7 +94,27 @@ def make_sampler(
                 "sampler=edm needs an EDM-trained model (σ-conditioned "
                 "network); discrete-t models can use ddim or dpm"
             )
-        return EDM.create(steps=steps), identity
+        # rebuild the grid at the new step count but with the TRAINED
+        # hyperparameters — paper defaults here would mis-precondition
+        # any non-default model (same failure class as rebuilding a
+        # default β schedule)
+        return (
+            EDM.create(
+                steps=steps,
+                sigma_min=float(base.sigmas[-2]),
+                sigma_max=float(base.sigmas[0]),
+                rho=base.rho,
+                sigma_data=base.sigma_data,
+                p_mean=base.p_mean,
+                p_std=base.p_std,
+                order=base.order,
+                s_churn=base.s_churn,
+                s_min=base.s_min,
+                s_max=base.s_max,
+                s_noise=base.s_noise,
+            ),
+            identity,
+        )
 
     schedule = getattr(base, "schedule", None)
     if schedule is None:

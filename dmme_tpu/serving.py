@@ -75,13 +75,10 @@ class Sampler:
                     # — deep@interval-2 is +35% over exact DDIM on v5e)
                     from dmme_tpu.diffusion.factory import make_module_sampler
 
-                    if getattr(self.lit, "num_classes", None) is not None:
-                        raise ValueError(
-                            f"sampler={sampler!r} does not support "
-                            "class-conditional models; use ddim or dpm"
-                        )
                     algo = make_module_sampler(
-                        self.lit.diffusion_model, sampler, steps
+                        self.lit.diffusion_model, sampler, steps,
+                        conditional=getattr(self.lit, "num_classes", None)
+                        is not None,
                     )
 
                     def raw(rng, _algo=algo, _shape=shape):
@@ -179,6 +176,12 @@ def make_server(sampler: Sampler, host: str = "127.0.0.1", port: int = 8000):
                     return self._json(400, {"error": f"unknown format {fmt!r}"})
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — client must get an answer
+                # without this the handler aborts the connection with no
+                # status line at all (client sees a bare reset)
+                return self._json(
+                    500, {"error": f"{type(e).__name__}: {e}"}
+                )
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))

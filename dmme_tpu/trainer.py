@@ -175,6 +175,7 @@ def cmd_sample(config: Dict[str, Any]) -> None:
                 model.diffusion_model, sampler, tc.get("sample_steps"),
                 refresh_interval=int(tc.get("refresh_interval") or 2),
                 cache_depth=int(tc.get("cache_depth") or 1),
+                conditional=model.num_classes is not None,
             )
             out = algo.generate(
                 model.model, state.ema_params, jax.random.PRNGKey(step), shape

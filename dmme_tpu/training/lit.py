@@ -389,16 +389,17 @@ class LitIDDPM(LitDDPM):
             img_channels=img_channels, dtype=dtype, **kwargs,
         )
 
-    def generate(self, state, rng, img_shape, *, use_ema=None, history_length=None):
+    def generate(self, state, rng, img_shape, *, use_ema=None,
+                 history_length=None, y=None):
         if self.sample_algorithm is None:
             return super().generate(
                 state, rng, img_shape, use_ema=use_ema,
-                history_length=history_length,
+                history_length=history_length, y=y,
             )
         if use_ema is None:
             use_ema = not self.validate_original_weights
         params = state.ema_params if use_ema else state.params
-        model_fn, rng = self.sampling_model_fn(rng, img_shape[0])
+        model_fn, rng = self.sampling_model_fn(rng, img_shape[0], y)
         return self.sample_algorithm.generate(
             model_fn, params, rng, img_shape, history_length=history_length
         )

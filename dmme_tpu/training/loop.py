@@ -181,6 +181,12 @@ def _fit_once(
         it_params = inspect.signature(datamodule.train_iter).parameters
     except (TypeError, ValueError):
         it_params = {}
+    has_var_kw = any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in it_params.values()
+    )
+    # skip_batches stays name-gated even under **kwargs: an iterator that
+    # swallows-and-ignores it would silently break resume determinism,
+    # while the manual fast-forward fallback below is always correct.
     supports_skip = "skip_batches" in it_params
     it_kwargs = {}
     if nproc > 1:
@@ -188,7 +194,8 @@ def _fit_once(
         # documented train_iter(seed) signature must not crash multi-process
         # — but silently feeding every host the SAME data would duplicate
         # batches across the global batch, so refuse loudly instead.
-        if "process_index" not in it_params:
+        # A **kwargs signature is accepted (it worked before this check).
+        if "process_index" not in it_params and not has_var_kw:
             raise ValueError(
                 f"{type(datamodule).__name__}.train_iter does not accept "
                 "process_index/process_count — required for multi-process "
