@@ -95,6 +95,9 @@ def cmd_test(config: Dict[str, Any]) -> None:
         mesh=_make_mesh(tc.get("mesh")),  # shard generation across devices
         fid_stats=tc.get("fid_stats"),            # precomputed real (μ,Σ) npz
         save_fid_stats=tc.get("save_fid_stats"),  # persist this run's real stats
+        use_ema=(None if tc.get("use_ema") is None else bool(tc.get("use_ema"))),
+        sampler=tc.get("sampler"),          # e.g. dpm: FID at 20 NFE (2.4×)
+        sample_steps=tc.get("sample_steps"),
     )
     print(results)
 
@@ -111,6 +114,8 @@ def cmd_validate(config: Dict[str, Any]) -> None:
         ckpt_dir=tc.get("default_root_dir"),
         seed=int(config.get("seed_everything", 1337)),
         max_batches=tc.get("limit_val_batches"),
+        # EMA-vs-raw comparison (reference validate_original_weights knob)
+        use_ema=(None if tc.get("use_ema") is None else bool(tc.get("use_ema"))),
     )
     print(results)
 

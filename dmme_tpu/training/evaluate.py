@@ -106,6 +106,8 @@ def test(
     mesh=None,
     fid_stats: Optional[str] = None,
     save_fid_stats: Optional[str] = None,
+    sampler: Optional[str] = None,
+    sample_steps: Optional[int] = None,
 ) -> Dict[str, float]:
     """FID/IS evaluation. With ``mesh`` set, generation and feature
     extraction shard over the device mesh (params replicated, batch split) —
@@ -115,7 +117,10 @@ def test(
 
     ``fid_stats``: precomputed real-distribution (μ, Σ) ``.npz`` in the
     pytorch-fid convention — skips the real feature pass entirely.
-    ``save_fid_stats``: write this run's real stats for reuse."""
+    ``save_fid_stats``: write this run's real stats for reuse.
+    ``sampler``/``sample_steps``: generation-time solver override (same
+    names as the sample subcommand; e.g. ``sampler="dpm"`` evaluates FID
+    at 20 NFE — 2.4× cheaper than DDIM-50 per generated batch)."""
     if use_ema is None:
         # Reference EMA knob ``validate_original_weights`` (callbacks/
         # ema.py:27-46): evaluate the raw weights instead of the EMA copy.
@@ -144,6 +149,15 @@ def test(
 
     params = state.ema_params if use_ema else state.params
 
+    # Generation-time solver override (shared factory with the sample
+    # subcommand: reuses the trained schedule and adapts ε‖v outputs).
+    if sampler is not None:
+        from dmme_tpu.diffusion import make_sampler
+
+        algo, adapt = make_sampler(lit.diffusion_model, sampler, sample_steps)
+    else:
+        algo, adapt = lit.diffusion_model, (lambda fn: fn)
+
     # Conditional models generate through the CFG wrapper. Labels must be a
     # TRACED argument (closing the wrapper over each batch's y would make a
     # fresh static model_fn per batch -> recompile of the full reverse scan
@@ -157,13 +171,16 @@ def test(
                 lit.model_fn, y, getattr(lit, "guidance_scale", 1.0),
                 null_label=lit.num_classes,
             )
-            return lit.diffusion_model.generate(fn, params_, rng_, shape)
+            return algo.generate(adapt(fn), params_, rng_, shape)
 
         gen_static = (3,)
         gen_fn = _generate
     else:
         gen_static = (0, 3)
-        gen_fn = lit.diffusion_model.generate
+        gen_fn = algo.generate
+    # built ONCE: the adapted model_fn is a static argnum — a fresh closure
+    # per batch would recompile the reverse scan every iteration
+    base_model_fn = adapt(lit.model_fn)
 
     place = None
     if mesh is not None:
@@ -211,7 +228,7 @@ def test(
                 )
             fake = gen(params, gen_rng, y, real.shape)
         else:
-            fake = gen(lit.model_fn, params, gen_rng, real.shape)
+            fake = gen(base_model_fn, params, gen_rng, real.shape)
         fake = denorm(fake)  # [-1,1] -> [0,1]
         feats, logits = feature_fn(fake)
         fid.update(feats, real=False)

@@ -244,3 +244,24 @@ class TestEvaluateLoop:
         # precomputed-stats path reproduces the same FID
         from_stats = run_test(lit, dm, seed=0, max_batches=1, fid_stats=stats)
         np.testing.assert_allclose(from_stats["fid"], single["fid"], rtol=1e-6)
+
+
+class TestSamplerOverrideInTest:
+    def test_fid_with_dpm_override(self, tmp_path):
+        """trainer-test's sampler override: FID evaluation through
+        DPM-Solver++ at few NFE (2.4x cheaper generation)."""
+        from dmme_tpu.data import CIFAR10
+        from dmme_tpu.models import ddpm as ddpm_models
+        from dmme_tpu.training import LitDDPM
+        from dmme_tpu.training.evaluate import test as run_test
+
+        lit = LitDDPM(
+            model=ddpm_models.UNet(
+                pos_dim=4, emb_dim=8, num_groups=2,
+                channels_per_depth=(4, 8, 8, 8), num_blocks=1,
+            ),
+            timesteps=8, warmup=10,
+        )
+        dm = CIFAR10(synthetic=True, synthetic_size=8, batch_size=4)
+        res = run_test(lit, dm, max_batches=1, sampler="dpm", sample_steps=3)
+        assert "fid" in res and res["num_batches"] == 1
