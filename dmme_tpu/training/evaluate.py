@@ -156,6 +156,11 @@ def test(
 
         algo, adapt = make_sampler(lit.diffusion_model, sampler, sample_steps)
     else:
+        if sample_steps is not None:
+            raise ValueError(
+                "sample_steps without sampler would be silently ignored — "
+                "set sampler (ddim|dpm|edm) too"
+            )
         algo, adapt = lit.diffusion_model, (lambda fn: fn)
 
     # Conditional models generate through the CFG wrapper. Labels must be a
@@ -178,9 +183,9 @@ def test(
     else:
         gen_static = (0, 3)
         gen_fn = algo.generate
-    # built ONCE: the adapted model_fn is a static argnum — a fresh closure
-    # per batch would recompile the reverse scan every iteration
-    base_model_fn = adapt(lit.model_fn)
+        # built ONCE: the adapted model_fn is a static argnum — a fresh
+        # closure per batch would recompile the reverse scan every iteration
+        base_model_fn = adapt(lit.model_fn)
 
     place = None
     if mesh is not None:
@@ -243,6 +248,11 @@ def test(
         "inception_score": float(jnp.exp(kl_mean)),
         "inception_score_std": kl_std,
         "num_batches": n_batches,
+        # methodology stamp: FID from different solvers/weights must not be
+        # compared as if equivalent
+        "use_ema": use_ema,
+        "sampler": sampler or "default",
+        "sample_steps": sample_steps,
     }
     if inception_weights is None:
         results["warning"] = (
