@@ -56,6 +56,7 @@ class TestShippedConfigs:
             "configs/ddim/cifar10.yaml",
             "configs/iddpm/cifar10.yaml",
             "configs/edm/cifar10.yaml",
+            "configs/ddpm/cifar10_vpred.yaml",
         ],
     )
     def test_configs_instantiate(self, path):
