@@ -38,12 +38,16 @@ class ProfileTrace:
     def on_train_step_end(self, step: int, lit, state, logger=None) -> None:
         if self._stopped:
             return
-        if not self._started and step >= self.start_step:
+        # This hook fires *after* step N executes, so to capture steps
+        # [start_step, start_step + num_steps) the trace must open at the
+        # end of step start_step - 1 and close at the end of the window's
+        # last step.
+        if not self._started and step >= self.start_step - 1:
             sync(state.params)  # drain pending work: trace only the window
             jax.profiler.start_trace(self.log_dir)
             self._started = True
             return
-        if self._started and step >= self.start_step + self.num_steps:
+        if self._started and step >= self.start_step + self.num_steps - 1:
             self._stop(state)
 
     def on_fit_end(self, lit, state, logger=None) -> None:

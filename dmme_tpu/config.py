@@ -11,6 +11,7 @@ Reference YAMLs (configs/ddpm/cifar10.yaml:72-84) translate 1:1.
 from __future__ import annotations
 
 import importlib
+import inspect
 from typing import Any, Dict, List, Optional
 
 import yaml
@@ -98,3 +99,129 @@ def _set_dotted(config: Dict[str, Any], dotted: str, value: Any) -> None:
     for k in keys[:-1]:
         node = node.setdefault(k, {})
     node[keys[-1]] = value
+
+
+# --- strict validation (LightningCLI/jsonargparse parity) -------------------
+#
+# The reference CLI rejects unknown keys anywhere in the config tree
+# (/root/reference/src/dmme/trainer.py:9 — jsonargparse validates every
+# init_args name against the target constructor's signature). Same contract
+# here: a typo'd ``trainer.max_step`` or ``model.init_args.leraning_rate``
+# fails loudly at parse time, before any device work.
+
+TOP_LEVEL_KEYS = frozenset(
+    {"seed_everything", "trainer", "model", "data", "ckpt_path"}
+)
+
+TRAINER_KEYS = frozenset({
+    # fit
+    "max_steps", "log_every_n_steps", "ckpt_every_n_steps",
+    "default_root_dir", "accumulate_grad_batches", "mesh", "callbacks",
+    "resume", "max_restarts", "steps_per_call", "detect_anomaly",
+    "tensorboard", "loggers",
+    # evaluate / sample / predict / serve
+    "limit_test_batches", "limit_val_batches", "limit_predict_batches",
+    "inception_weights", "fid_stats", "save_fid_stats", "use_ema",
+    "sampler", "sample_steps", "refresh_interval", "cache_depth",
+    "img_size", "sample_batch", "predict_batch", "host", "port",
+})
+
+MESH_KEYS = frozenset({"data", "fsdp", "tensor"})
+
+
+class ConfigError(ValueError):
+    """Unknown key / bad structure in a config tree."""
+
+
+def _fail_unknown(unknown, where: str, known) -> None:
+    raise ConfigError(
+        f"unknown key(s) {sorted(unknown)} in {where}; "
+        f"known keys: {sorted(known)}"
+    )
+
+
+def validate_config(config: Dict[str, Any]) -> Dict[str, Any]:
+    """Reject unknown keys everywhere in the tree; returns config."""
+    if not isinstance(config, dict):
+        raise ConfigError(f"config root must be a mapping, got {type(config)}")
+    unknown = set(config) - TOP_LEVEL_KEYS
+    if unknown:
+        _fail_unknown(unknown, "top-level config", TOP_LEVEL_KEYS)
+    trainer = config.get("trainer") or {}
+    if not isinstance(trainer, dict):
+        raise ConfigError("trainer: must be a mapping")
+    unknown = set(trainer) - TRAINER_KEYS
+    if unknown:
+        _fail_unknown(unknown, "trainer:", TRAINER_KEYS)
+    mesh = trainer.get("mesh") or {}
+    if mesh:
+        if not isinstance(mesh, dict):
+            raise ConfigError("trainer.mesh: must be a mapping of axis sizes")
+        unknown = set(mesh) - MESH_KEYS
+        if unknown:
+            _fail_unknown(unknown, "trainer.mesh:", MESH_KEYS)
+    for slot in ("model", "data"):
+        if config.get(slot) is not None:
+            _validate_class_tree(config[slot], slot)
+    for slot in ("callbacks", "loggers"):
+        for i, node in enumerate(trainer.get(slot) or []):
+            _validate_class_tree(node, f"trainer.{slot}[{i}]")
+    return config
+
+
+def _validate_class_tree(node: Any, where: str) -> None:
+    if isinstance(node, dict):
+        if "class_path" in node:
+            extra = set(node) - {"class_path", "init_args"}
+            if extra:
+                _fail_unknown(extra, where, {"class_path", "init_args"})
+            cls = resolve_class(node["class_path"])  # loud on bad path
+            init_args = node.get("init_args") or {}
+            if not isinstance(init_args, dict):
+                raise ConfigError(f"{where}.init_args must be a mapping")
+            _check_signature(cls, init_args, where)
+            for k, v in init_args.items():
+                _validate_class_tree(v, f"{where}.init_args.{k}")
+        else:
+            for k, v in node.items():
+                _validate_class_tree(v, f"{where}.{k}")
+    elif isinstance(node, list):
+        for i, v in enumerate(node):
+            _validate_class_tree(v, f"{where}[{i}]")
+
+
+def _check_signature(cls, init_args: Dict[str, Any], where: str) -> None:
+    try:
+        sig = inspect.signature(cls)
+    except (TypeError, ValueError):  # C-implemented / no signature
+        return
+    params = sig.parameters
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
+        return  # **kwargs constructors accept anything by design
+    unknown = set(init_args) - set(params)
+    if unknown:
+        _fail_unknown(
+            unknown, f"{where}.init_args for {cls.__name__}", set(params)
+        )
+
+
+def describe_class(class_path: str) -> str:
+    """One line per constructor arg — the CLI's introspective ``--help``
+    body (mirrors jsonargparse's signature-derived flag listing)."""
+    cls = resolve_class(class_path)
+    try:
+        sig = inspect.signature(cls)
+    except (TypeError, ValueError):
+        return f"{class_path}: (no introspectable signature)"
+    lines = [f"{class_path}:"]
+    for name, p in sig.parameters.items():
+        if p.kind in (inspect.Parameter.VAR_POSITIONAL,
+                      inspect.Parameter.VAR_KEYWORD):
+            lines.append(f"  {p}")
+            continue
+        ann = "" if p.annotation is inspect.Parameter.empty \
+            else f": {inspect.formatannotation(p.annotation)}"
+        default = "  (required)" if p.default is inspect.Parameter.empty \
+            else f" = {p.default!r}"
+        lines.append(f"  {name}{ann}{default}")
+    return "\n".join(lines)

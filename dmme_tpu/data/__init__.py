@@ -5,6 +5,7 @@ from dmme_tpu.data.cifar10 import CIFAR10
 from dmme_tpu.data.imagefolder import ImageFolder64
 from dmme_tpu.data.lsun import LSUN
 from dmme_tpu.data.lmdb_reader import LMDBReader
+from dmme_tpu.data.shapes import Shapes
 
 __all__ = [
     "DataModule",
@@ -12,5 +13,6 @@ __all__ = [
     "ImageFolder64",
     "LSUN",
     "LMDBReader",
+    "Shapes",
     "random_horizontal_flip",
 ]

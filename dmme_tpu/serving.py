@@ -61,6 +61,14 @@ class Sampler:
             raise ValueError(f"n must be in [1, {_BUCKETS[-1]}], got {n}")
         bucket = _bucket(n)
         key = (sampler, int(steps or 0), bucket)
+        # Resolve EMA-vs-raw weights once, the same way lit.generate does
+        # (reference validate_original_weights knob) so every sampler branch
+        # serves the weights the model was configured to evaluate with.
+        params = (
+            self.state.params
+            if getattr(self.lit, "validate_original_weights", False)
+            else self.state.ema_params
+        )
         with self._lock:  # one accelerator: serialize generation
             gen = self._cache.get(key)
             if gen is None:
@@ -81,9 +89,9 @@ class Sampler:
                         is not None,
                     )
 
-                    def raw(rng, _algo=algo, _shape=shape):
+                    def raw(rng, _algo=algo, _shape=shape, _params=params):
                         return _algo.generate(
-                            self.lit.model, self.state.ema_params, rng, _shape
+                            self.lit.model, _params, rng, _shape
                         )
                 else:
                     # shared factory with the sample subcommand: reuses the
@@ -95,11 +103,12 @@ class Sampler:
                         self.lit.diffusion_model, sampler, steps
                     )
 
-                    def raw(rng, _algo=algo, _adapt=adapt, _shape=shape):
+                    def raw(rng, _algo=algo, _adapt=adapt, _shape=shape,
+                            _params=params):
                         # conditional models: CFG wrapper w/ uniform labels
                         fn, rng = self.lit.sampling_model_fn(rng, _shape[0])
                         return _algo.generate(
-                            _adapt(fn), self.state.ema_params, rng, _shape
+                            _adapt(fn), _params, rng, _shape
                         )
 
                 # jit so steady state never re-traces the sampling scan

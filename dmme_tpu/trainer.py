@@ -260,16 +260,56 @@ def cmd_serve(config: Dict[str, Any]) -> None:
     )
 
 
+def _introspective_help(config: Dict[str, Any]) -> str:
+    """LightningCLI-style ``--help``: list every constructor arg of the
+    config's target classes (jsonargparse signature introspection parity,
+    /root/reference/src/dmme/trainer.py:9)."""
+    from dmme_tpu.config import TRAINER_KEYS, describe_class
+
+    sections = ["trainer: (known keys)\n  " + "\n  ".join(sorted(TRAINER_KEYS))]
+    for slot in ("model", "data"):
+        node = config.get(slot)
+        if isinstance(node, dict) and "class_path" in node:
+            sections.append(f"{slot} → " + describe_class(node["class_path"]))
+    sections.append(
+        "Override any key with --<dotted.path> <value> "
+        "(e.g. --model.init_args.lr 1e-4); unknown keys are rejected."
+    )
+    return "\n\n".join(sections)
+
+
 def main(argv=None) -> None:
-    parser = argparse.ArgumentParser(prog="dmme_tpu.trainer")
+    parser = argparse.ArgumentParser(
+        prog="dmme_tpu.trainer",
+        epilog="With --config, --help lists the target classes' constructor "
+        "args; --print_config dumps the resolved (validated) YAML.",
+    )
     parser.add_argument(
         "subcommand",
         choices=["fit", "validate", "test", "sample", "predict", "serve"],
     )
     parser.add_argument("--config", required=True)
+    parser.add_argument(
+        "--print_config", action="store_true",
+        help="print the resolved config (after overrides) as YAML and exit",
+    )
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if ("--help" in argv or "-h" in argv) and "--config" in argv:
+        cfg_path = argv[argv.index("--config") + 1]
+        parser.print_help()
+        print()
+        print(_introspective_help(load_config(cfg_path)))
+        return
     args, overrides = parser.parse_known_args(argv)
 
-    config = apply_overrides(load_config(args.config), overrides)
+    from dmme_tpu.config import validate_config
+
+    config = validate_config(apply_overrides(load_config(args.config), overrides))
+    if args.print_config:
+        import yaml
+
+        print(yaml.safe_dump(config, sort_keys=False), end="")
+        return
 
     from dmme_tpu.utils.cache import enable_compilation_cache
 

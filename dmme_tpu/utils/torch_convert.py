@@ -151,11 +151,16 @@ def copy_unet(params: Any, net, film: bool, heads: int) -> Any:
 
 def strip_state_dict_prefix(state_dict: dict) -> dict:
     """Peel Lightning wrapper prefixes off a reference checkpoint's
-    state_dict: LitDDPM.model = DDPM, DDPM.model = UNet, so UNet keys
-    arrive as ``model.model.input_conv.weight`` (or ``model.…`` from a bare
-    DDPM, or unprefixed from a bare UNet). Detected by looking for the
-    UNet's ``input_conv.weight`` anchor key."""
-    for prefix in ("model.model.", "model.", ""):
+    state_dict. The real reference nesting is
+    ``LitDDPM.diffusion_model = DDPM`` and ``DDPM.model = UNet``
+    (/root/reference/src/dmme/lit_modules/ddpm.py:51-56,
+    /root/reference/src/dmme/diffusion_models/ddpm.py:41), so a genuine
+    Lightning ``.ckpt`` carries UNet keys as
+    ``diffusion_model.model.input_conv.weight``. Also accepted:
+    ``model.model.…`` (a Lit wrapper whose attribute is named ``model``),
+    ``model.…`` (a bare DDPM state_dict), and unprefixed (a bare UNet).
+    Detected by the UNet's ``input_conv.weight`` anchor key."""
+    for prefix in ("diffusion_model.model.", "model.model.", "model.", ""):
         if any(k == prefix + "input_conv.weight" for k in state_dict):
             out = {
                 k[len(prefix):]: v

@@ -50,12 +50,33 @@ def _write_config(tmp_path, out_dir):
     return cfg
 
 
+def _real_lightning_nesting(net):
+    """Build the reference's actual module tree via real torch modules:
+    LitDDPM.diffusion_model = DDPM, DDPM.model = UNet
+    (/root/reference/src/dmme/lit_modules/ddpm.py:51-56), so state_dict()
+    produces genuine ``diffusion_model.model.*`` keys — not a hand-written
+    prefix that could mask a mismatch."""
+    ddpm = torch.nn.Module()
+    ddpm.model = net
+    lit = torch.nn.Module()
+    lit.diffusion_model = ddpm
+    return lit
+
+
 class TestStripPrefix:
     def test_lightning_double_prefix(self):
         sd = {"model.model.input_conv.weight": 1, "model.model.x.y": 2,
               "model.model.beta": 3}
         out = strip_state_dict_prefix(sd)
         assert out == {"input_conv.weight": 1, "x.y": 2}  # buffers dropped
+
+    def test_real_reference_nesting(self):
+        net = torch.nn.Module()
+        net.input_conv = torch.nn.Conv2d(3, 4, 1)
+        sd = _real_lightning_nesting(net).state_dict()
+        assert "diffusion_model.model.input_conv.weight" in sd
+        out = strip_state_dict_prefix(sd)
+        assert set(out) == {"input_conv.weight", "input_conv.bias"}
 
     def test_bare_unet(self):
         sd = {"input_conv.weight": 1}
@@ -73,9 +94,7 @@ class TestConvertScript:
         ckpt = tmp_path / "last.ckpt"
         torch.save(
             {
-                "state_dict": {
-                    "model.model." + k: v for k, v in net.state_dict().items()
-                },
+                "state_dict": _real_lightning_nesting(net).state_dict(),
                 "global_step": 1234,
             },
             ckpt,

@@ -348,3 +348,110 @@ class TestTrainerCLI:
         # KeyError from the step-defaults dict (self-review finding)
         with pytest.raises(ValueError, match="unknown sampler"):
             main(["sample", "--config", str(cfg), "--trainer.sampler", "heun"])
+
+
+class TestStrictConfig:
+    """LightningCLI parity: unknown keys anywhere in the tree fail loudly
+    (reference jsonargparse behavior, src/dmme/trainer.py:9)."""
+
+    def _cfg(self, tmp_path, extra=""):
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            textwrap.dedent(
+                f"""
+                seed_everything: 7
+                trainer:
+                  max_steps: 1
+                  default_root_dir: {tmp_path}/run
+                {extra}
+                model:
+                  class_path: dmme_tpu.training.LitDDPM
+                  init_args:
+                    warmup: 10
+                    timesteps: 10
+                    model:
+                      class_path: dmme_tpu.models.ddpm.UNet
+                      init_args: {{pos_dim: 4, emb_dim: 8, num_groups: 2,
+                                   channels_per_depth: [4, 8, 8, 8], num_blocks: 1}}
+                data:
+                  class_path: dmme_tpu.data.CIFAR10
+                  init_args: {{synthetic: true, synthetic_size: 16, batch_size: 4}}
+                """
+            )
+        )
+        return cfg
+
+    def test_typoed_trainer_key_rejected(self, tmp_path):
+        from dmme_tpu.config import ConfigError
+        from dmme_tpu.trainer import main
+
+        cfg = self._cfg(tmp_path, extra="  max_step: 5")  # typo (no 's')
+        with pytest.raises(ConfigError, match="max_step"):
+            main(["fit", "--config", str(cfg)])
+
+    def test_typoed_override_rejected(self, tmp_path):
+        from dmme_tpu.config import ConfigError
+        from dmme_tpu.trainer import main
+
+        cfg = self._cfg(tmp_path)
+        with pytest.raises(ConfigError, match="lrr"):
+            main(["fit", "--config", str(cfg),
+                  "--model.init_args.lrr", "1e-4"])
+
+    def test_typoed_init_arg_rejected(self, tmp_path):
+        from dmme_tpu.config import ConfigError, validate_config, load_config
+
+        cfg = self._cfg(tmp_path)
+        config = load_config(str(cfg))
+        config["model"]["init_args"]["leraning_rate"] = 1e-4
+        with pytest.raises(ConfigError, match="leraning_rate"):
+            validate_config(config)
+
+    def test_unknown_top_level_rejected(self, tmp_path):
+        from dmme_tpu.config import ConfigError, validate_config, load_config
+
+        config = load_config(str(self._cfg(tmp_path)))
+        config["modle"] = {}
+        with pytest.raises(ConfigError, match="modle"):
+            validate_config(config)
+
+    def test_bad_mesh_axis_rejected(self, tmp_path):
+        from dmme_tpu.config import ConfigError, validate_config, load_config
+
+        config = load_config(str(self._cfg(tmp_path)))
+        config["trainer"]["mesh"] = {"data": -1, "fsbp": 2}  # typo
+        with pytest.raises(ConfigError, match="fsbp"):
+            validate_config(config)
+
+    def test_shipped_configs_validate(self):
+        import glob
+
+        from dmme_tpu.config import validate_config, load_config
+
+        for path in sorted(glob.glob("configs/**/*.yaml", recursive=True)):
+            validate_config(load_config(path))
+
+    def test_print_config(self, tmp_path, capsys):
+        import yaml
+
+        from dmme_tpu.trainer import main
+
+        cfg = self._cfg(tmp_path)
+        main(["fit", "--config", str(cfg), "--print_config",
+              "--model.init_args.lr", "3e-4"])
+        out = capsys.readouterr().out
+        resolved = yaml.safe_load(out)
+        assert resolved["model"]["init_args"]["lr"] == 3e-4
+        # print_config must NOT have trained anything
+        assert not (tmp_path / "run" / "metrics.jsonl").exists()
+
+    def test_introspective_help(self, tmp_path, capsys):
+        from dmme_tpu.trainer import main
+
+        main(["fit", "--config", str(self._cfg(tmp_path)), "--help"])
+        out = capsys.readouterr().out
+        # constructor args of the config's target classes are listed
+        assert "dmme_tpu.training.LitDDPM" in out
+        assert "lr" in out and "warmup" in out
+        assert "synthetic_size" in out  # data class args too
+        assert "max_steps" in out      # trainer key listing

@@ -87,3 +87,37 @@ class TestCifarDownload:
         dm.prepare_data()  # no-op, no network touched
         with pytest.raises(FileNotFoundError):
             dm.setup("fit")
+
+
+class TestShapes:
+    """Procedural structured dataset (proof-of-learning runs)."""
+
+    def test_deterministic_and_structured(self):
+        from dmme_tpu.data.shapes import Shapes, render_shapes
+
+        a, la = render_shapes(64, 32, seed=3)
+        b, lb = render_shapes(64, 32, seed=3)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(la, lb)
+        assert a.shape == (64, 32, 32, 3) and a.dtype == np.uint8
+        assert set(np.unique(la)) <= {0, 1}
+        # structured, not noise: per-image pixel correlation is high — a
+        # flat background + one shape means most neighboring pixels match
+        x = a.astype(np.float32)
+        horiz_diff = np.abs(x[:, :, 1:] - x[:, :, :-1]).mean()
+        rng = np.random.default_rng(0)
+        noise = rng.integers(0, 256, a.shape).astype(np.float32)
+        noise_diff = np.abs(noise[:, :, 1:] - noise[:, :, :-1]).mean()
+        assert horiz_diff < noise_diff / 4
+
+    def test_datamodule_contract(self):
+        from dmme_tpu.data import Shapes
+
+        dm = Shapes(size=32, batch_size=8, with_labels=True)
+        dm.setup("fit")
+        it = dm.train_iter(0)
+        batch, labels = next(it)
+        assert batch.shape == (8, 32, 32, 3) and batch.dtype == np.uint8
+        assert labels.shape == (8,)
+        dm.setup("test")
+        assert dm.test_data is dm.train_data
