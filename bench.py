@@ -47,19 +47,49 @@ def main():
     dm = CIFAR10(synthetic=True, synthetic_size=BATCH * CHUNK, batch_size=BATCH)
     dm.setup("fit")
 
+    # phase-split warmup timing + persistent-cache hit/miss accounting
+    # (BENCH_r02 recorded an unexplained 805s warmup; the round-3 probe
+    # measured 141s cold / expected seconds warm — keep the evidence in
+    # every bench run so a regression is attributable, not a mystery)
+    import logging
+
+    cache_events = {"hit": 0, "miss": 0}
+
+    class _CacheCounter(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if "PERSISTENT COMPILATION CACHE MISS" in msg:
+                cache_events["miss"] += 1
+            elif "Persistent compilation cache hit" in msg:
+                cache_events["hit"] += 1
+
+    _logger = logging.getLogger("jax._src.compiler")
+    _logger.setLevel(logging.DEBUG)
+    _logger.addHandler(_CacheCounter())
+
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     state = lit.init_state(rng, img_size=32)
+    float(jnp.sum(state.step))  # sync (block_until_ready unreliable on axon)
+    t_init = time.perf_counter() - t0
     chunk_fn = make_train_chunk(lit.make_loss_fn(dm), CHUNK)
 
     it = dm.train_iter(0)
     stacked = jnp.asarray(np.stack([next(it) for _ in range(CHUNK)]))
+    float(jnp.sum(stacked))
+    t_stage = time.perf_counter() - t0 - t_init
 
     # compile + warmup (one chunk)
     state, metrics = chunk_fn(state, stacked, rng)
     first_loss = float(jax.device_get(metrics["loss"])[-1])
-    print(f"# compile+warmup {time.perf_counter()-t0:.1f}s loss={first_loss:.4f}",
-          file=sys.stderr)
+    t_total = time.perf_counter() - t0
+    print(
+        f"# compile+warmup {t_total:.1f}s (init {t_init:.1f}s, stage "
+        f"{t_stage:.1f}s, chunk compile+run {t_total - t_init - t_stage:.1f}s; "
+        f"persistent cache hits={cache_events['hit']} "
+        f"misses={cache_events['miss']}) loss={first_loss:.4f}",
+        file=sys.stderr,
+    )
 
     t0 = time.perf_counter()
     for _ in range(CHUNKS_TIMED):

@@ -118,6 +118,7 @@ TRAINER_KEYS = frozenset({
     "max_steps", "log_every_n_steps", "ckpt_every_n_steps",
     "default_root_dir", "accumulate_grad_batches", "mesh", "callbacks",
     "resume", "max_restarts", "steps_per_call", "detect_anomaly",
+    "ckpt_max_to_keep", "ckpt_step",
     "tensorboard", "loggers",
     # evaluate / sample / predict / serve
     "limit_test_batches", "limit_val_batches", "limit_predict_batches",

@@ -63,6 +63,8 @@ def cmd_fit(config: Dict[str, Any]) -> None:
         log_every=int(tc.get("log_every_n_steps", 50)),
         ckpt_dir=tc.get("default_root_dir"),
         ckpt_every=int(tc.get("ckpt_every_n_steps", 100_000)),
+        # None keeps every checkpoint (full convergence trajectory)
+        ckpt_max_to_keep=tc.get("ckpt_max_to_keep", 3),
         callbacks=callbacks,
         resume=config.get("ckpt_path") is not None or bool(tc.get("resume", False)),
         # fault tolerance: restore latest checkpoint + resume on failure,
@@ -87,6 +89,7 @@ def cmd_test(config: Dict[str, Any]) -> None:
         model,
         data,
         ckpt_dir=tc.get("default_root_dir"),
+        ckpt_step=tc.get("ckpt_step"),
         seed=int(config.get("seed_everything", 1337)),
         max_batches=tc.get("limit_test_batches"),
         # FID-standard InceptionV3 weights (.pth or converted .npz); see
@@ -112,6 +115,7 @@ def cmd_validate(config: Dict[str, Any]) -> None:
         model,
         data,
         ckpt_dir=tc.get("default_root_dir"),
+        ckpt_step=tc.get("ckpt_step"),
         seed=int(config.get("seed_everything", 1337)),
         max_batches=tc.get("limit_val_batches"),
         # EMA-vs-raw comparison (reference validate_original_weights knob)
@@ -141,8 +145,9 @@ def _restore_state(model, data, tc: Dict[str, Any]):
     ckpt_dir = tc.get("default_root_dir")
     if ckpt_dir:
         mgr = CheckpointManager(ckpt_dir)
-        if mgr.latest_step() is not None:
-            state = mgr.restore(state)
+        step = tc.get("ckpt_step")  # pin a specific saved step
+        if step is not None or mgr.latest_step() is not None:
+            state = mgr.restore(state, step=step)
     return state, img_size, ckpt_dir
 
 

@@ -31,7 +31,9 @@ def _pure(state: TrainState) -> dict:
 class CheckpointManager:
     """Thin wrapper over ``ocp.CheckpointManager``: keep last + every-N."""
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: Optional[int] = 3):
+        # max_to_keep=None keeps every checkpoint (demo/analysis runs that
+        # need the full convergence trajectory, e.g. docs/training_demo.md)
         self._mgr = ocp.CheckpointManager(
             os.path.abspath(directory),
             options=ocp.CheckpointManagerOptions(

@@ -66,8 +66,15 @@ class LitClassifier:
     def init_state(self, rng: jax.Array, img_size: int = 32) -> TrainState:
         x = jnp.zeros((1, img_size, img_size, self.img_channels), jnp.float32)
         t = jnp.zeros((1,), jnp.int32)
-        params = jax.jit(self.model.init)(rng, x, t)
-        return TrainState.create(params, self.make_optimizer(), ema_decay=self.decay)
+        tx = self.make_optimizer()
+
+        # one jitted program for init + EMA copy + optimizer zeros (eager
+        # per-leaf creation is minutes over a remote-TPU link; see LitDDPM)
+        def _create(rng_):
+            params = self.model.init(rng_, x, t)
+            return TrainState.create(params, tx, ema_decay=self.decay)
+
+        return jax.jit(_create)(rng)
 
     def make_loss_fn(self, datamodule=None):
         algo = self.diffusion_model

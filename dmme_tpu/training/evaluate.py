@@ -28,6 +28,7 @@ def validate(
     datamodule,
     *,
     ckpt_dir: Optional[str] = None,
+    ckpt_step: Optional[int] = None,
     seed: int = 1337,
     max_batches: Optional[int] = None,
     use_ema: Optional[bool] = None,
@@ -54,8 +55,10 @@ def validate(
         state = lit.init_state(rng, img_size=int(img_size))
         if ckpt_dir is not None:
             mgr = CheckpointManager(ckpt_dir)
-            if mgr.latest_step() is not None:
-                state = mgr.restore(state)
+            if ckpt_step is not None or mgr.latest_step() is not None:
+                # ckpt_step pins a specific saved step (e.g. an early
+                # checkpoint for relative-FID trend analysis)
+                state = mgr.restore(state, step=ckpt_step)
 
     params = state.ema_params if use_ema else state.params
 
@@ -98,6 +101,7 @@ def test(
     datamodule,
     *,
     ckpt_dir: Optional[str] = None,
+    ckpt_step: Optional[int] = None,
     seed: int = 1337,
     max_batches: Optional[int] = None,
     inception_weights: Optional[str] = None,
@@ -136,8 +140,10 @@ def test(
         state = lit.init_state(rng, img_size=int(img_size))
         if ckpt_dir is not None:
             mgr = CheckpointManager(ckpt_dir)
-            if mgr.latest_step() is not None:
-                state = mgr.restore(state)
+            if ckpt_step is not None or mgr.latest_step() is not None:
+                # ckpt_step pins a specific saved step (e.g. an early
+                # checkpoint for relative-FID trend analysis)
+                state = mgr.restore(state, step=ckpt_step)
 
     feature_fn = make_feature_fn(inception_weights)
     from dmme_tpu.eval.inception_score import InceptionScore

@@ -99,18 +99,26 @@ class LitDDPM:
     def init_state(self, rng: jax.Array, img_size: int = 32) -> TrainState:
         x = jnp.zeros((1, img_size, img_size, self.img_channels), jnp.float32)
         t = jnp.zeros((1,), jnp.int32)
-        # jit the init: unjitted tracing dispatches hundreds of tiny eager ops
-        # (pathological over a remote-TPU link — ~3 min for the default UNet).
-        if self.num_classes is not None:
-            params = jax.jit(self.model.init)(rng, x, t, y=jnp.zeros((1,), jnp.int32))
-        else:
-            params = jax.jit(self.model.init)(rng, x, t)
-        return TrainState.create(
-            params,
-            self.make_optimizer(),
-            ema_decay=self.decay,
-            ema_every_n_steps=self.ema_every_n_steps,
-        )
+        tx = self.make_optimizer()
+
+        # The ENTIRE state creation runs as ONE jitted program: model.init +
+        # the EMA copy + optimizer zeros. Eager creation dispatches ~900 tiny
+        # ops (3 per weight leaf) — pathological over a remote-TPU link: it
+        # was 175 s of BENCH_r02's unexplained 805 s warmup, vs seconds as a
+        # single compiled (and persistently cached) program.
+        def _create(rng_):
+            if self.num_classes is not None:
+                params = self.model.init(rng_, x, t, y=jnp.zeros((1,), jnp.int32))
+            else:
+                params = self.model.init(rng_, x, t)
+            return TrainState.create(
+                params,
+                tx,
+                ema_decay=self.decay,
+                ema_every_n_steps=self.ema_every_n_steps,
+            )
+
+        return jax.jit(_create)(rng)
 
     # ------------------------------------------------------------------- loss
     def make_loss_fn(self, datamodule=None):
@@ -320,11 +328,13 @@ class LitDistill(LitDDPM):
         if self.init_params is not None:
             # deep copies: params and ema_params must NOT alias each other
             # (or the teacher closure) — the donated train step would donate
-            # the same buffer twice
-            state = state.replace(
-                params=jax.tree.map(jnp.copy, self.init_params),
-                ema_params=jax.tree.map(jnp.copy, self.init_params),
+            # the same buffer twice. One jitted program, not per-leaf eager
+            # copies (minutes over a remote-TPU link).
+            copy2 = jax.jit(
+                lambda p: (jax.tree.map(jnp.copy, p), jax.tree.map(jnp.copy, p))
             )
+            params, ema_params = copy2(self.init_params)
+            state = state.replace(params=params, ema_params=ema_params)
         return state
 
     def make_loss_fn(self, datamodule=None):

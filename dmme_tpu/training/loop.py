@@ -79,6 +79,7 @@ def _fit_once(
     log_every: int = 50,
     ckpt_dir: Optional[str] = None,
     ckpt_every: int = 100_000,
+    ckpt_max_to_keep: Optional[int] = 3,
     callbacks: Sequence[Any] = (),
     state: Optional[TrainState] = None,
     resume: bool = False,
@@ -128,7 +129,11 @@ def _fit_once(
             img_size = datamodule.train_data.shape[1]
         state = lit.init_state(init_rng, img_size=int(img_size))
 
-    ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+    ckpt = (
+        CheckpointManager(ckpt_dir, max_to_keep=ckpt_max_to_keep)
+        if ckpt_dir
+        else None
+    )
     if resume and ckpt is not None and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
 
