@@ -333,3 +333,12 @@ def main(argv=None) -> None:
 
 if __name__ == "__main__":
     main()
+    # Remote-attached PJRT clients (the axon TPU tunnel) leave non-daemon
+    # threads behind; a lingering finished process would hold the single
+    # tunnel and block every later jax process. Hard-exit once done —
+    # only in script mode (tests import and call main() in-process).
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os
+
+    os._exit(0)

@@ -50,9 +50,10 @@ def plot_loss(steps, losses, path, title):
     # (the title names the series); direct label at the line end
     fig, ax = plt.subplots(figsize=(7, 3.4), dpi=160)
     ax.plot(steps, losses, color="#2a78d6", linewidth=1.6)
+    ax.set_yscale("log")  # the loss spans 2.5 decades; linear flattens it
     ax.set_title(title, fontsize=11, color="#1a1a19", loc="left")
     ax.set_xlabel("optimizer step", fontsize=9, color="#5f5e56")
-    ax.set_ylabel("train loss", fontsize=9, color="#5f5e56")
+    ax.set_ylabel("train loss (log)", fontsize=9, color="#5f5e56")
     ax.grid(True, color="#e8e6e0", linewidth=0.6)
     for s in ("top", "right"):
         ax.spines[s].set_visible(False)
@@ -89,6 +90,27 @@ def label_row(row_uint8, text, margin=52):
     return np.asarray(img)
 
 
+def sliced_wasserstein(a, b, n_proj=128, seed=0):
+    """SWD between two image sets in pixel space ((N,H,W,C) float [0,1]).
+
+    Distribution-convergence evidence that needs no pretrained network:
+    random-init Inception features are input-insensitive (round-2 finding,
+    docs/evaluation.md), but pixel-space SWD cleanly separates "noise-like"
+    from "on-distribution" sample sets and is exactly zero iff the
+    projected marginals match."""
+    rng = np.random.default_rng(seed)
+    a = a.reshape(a.shape[0], -1).astype(np.float64)
+    b = b.reshape(b.shape[0], -1).astype(np.float64)
+    dirs = rng.standard_normal((a.shape[1], n_proj))
+    dirs /= np.linalg.norm(dirs, axis=0, keepdims=True)
+    pa = np.sort(a @ dirs, axis=0)
+    pb = np.sort(b @ dirs, axis=0)
+    n = min(pa.shape[0], pb.shape[0])  # equal-quantile comparison
+    qa = np.quantile(pa, np.linspace(0, 1, n), axis=0)
+    qb = np.quantile(pb, np.linspace(0, 1, n), axis=0)
+    return float(np.mean(np.abs(qa - qb)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -96,7 +118,10 @@ def main():
     ap.add_argument("--sampler", default="dpm")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--swd-n", type=int, default=256)
     ap.add_argument("--final-n", type=int, default=64)
+    ap.add_argument("--loss-only", action="store_true",
+                    help="re-render the loss curve only (no device work)")
     args = ap.parse_args()
 
     import jax
@@ -124,6 +149,8 @@ def main():
         "DDPM on procedural Shapes — on-TPU fit via the CLI "
         f"({int(steps[-1])} steps, batch {dm.batch_size})",
     )
+    if args.loss_only:
+        return
 
     # ---- per-checkpoint sample rows --------------------------------------
     dm.setup("fit")
@@ -135,26 +162,37 @@ def main():
 
     algo, adapt = make_sampler(lit.diffusion_model, args.sampler, args.steps)
     model_fn = adapt(lit.model_fn)
-    shape = (args.n, img_size, img_size, lit.img_channels)
+    # ONE compiled shape serves both artifacts: the progression row shows
+    # the first n of the swd_n samples drawn per checkpoint
+    shape = (args.swd_n, img_size, img_size, lit.img_channels)
     gen = jax.jit(algo.generate, static_argnums=(0, 3))
 
+    real = dm.train_data[: args.swd_n].astype(np.float32) / 255.0
     rows = [
-        label_row(
-            (tile_row(dm.train_data[: args.n].astype(np.float32) / 255.0)
-             * 255).astype(np.uint8),
-            "data",
-        )
+        label_row((tile_row(real[: args.n]) * 255).astype(np.uint8), "data")
     ]
     rng = jax.random.PRNGKey(1234)
+    swd = {}
     for ckpt_step in all_steps:
         state = mgr.restore(state, step=ckpt_step)
         out = gen(model_fn, state.ema_params, rng, shape)  # same rng: paired
-        out = np.asarray(jax.device_get(denorm(out)), np.float32)
+        out = np.clip(np.asarray(jax.device_get(denorm(out)), np.float32), 0, 1)
+        swd[int(ckpt_step)] = sliced_wasserstein(out, real)
         rows.append(
-            label_row((np.clip(tile_row(out), 0, 1) * 255).astype(np.uint8),
+            label_row((tile_row(out[: args.n]) * 255).astype(np.uint8),
                       f"{ckpt_step}")
         )
-        print(f"# sampled checkpoint step {ckpt_step}", file=sys.stderr)
+        print(f"# checkpoint {ckpt_step}: swd={swd[int(ckpt_step)]:.3f}",
+              file=sys.stderr)
+    # the floor: SWD between two disjoint halves of the real set
+    swd_floor = sliced_wasserstein(
+        dm.train_data[args.swd_n : 2 * args.swd_n].astype(np.float32) / 255.0,
+        real,
+    )
+    # the ceiling: uniform noise vs real
+    swd_noise = sliced_wasserstein(
+        np.random.default_rng(5).random(real.shape).astype(np.float32), real
+    )
 
     pad = 4
     h = rows[0].shape[0]
@@ -191,6 +229,11 @@ def main():
         "checkpoints": [int(s) for s in all_steps],
         "sampler": args.sampler,
         "sample_steps": args.steps,
+        # distribution distance per checkpoint, with real-vs-real floor and
+        # noise-vs-real ceiling for calibration
+        "swd_per_checkpoint": {k: round(v, 4) for k, v in swd.items()},
+        "swd_real_floor": round(swd_floor, 4),
+        "swd_noise_ceiling": round(swd_noise, 4),
     }))
 
 
