@@ -29,11 +29,38 @@ import jax.numpy as jnp  # noqa: E402
 from dmme_tpu.eval import inception  # noqa: E402
 
 
+def verify_filename_hash(path: str) -> str:
+    """torch.hub convention: ``<name>-<8hex>.pth`` embeds the first 8 hex
+    chars of the file's sha256 (the integrity check torch itself applies on
+    download: pt_inception-2015-12-05-6726825d.pth, inception_v3_google-
+    0cc3c7bd.pth). Verify it when present; always return the full digest so
+    the operator can pin it."""
+    import hashlib
+    import re
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    digest = h.hexdigest()
+    m = re.search(r"-([0-9a-f]{8})\.pth?$", os.path.basename(path))
+    if m and not digest.startswith(m.group(1)):
+        raise SystemExit(
+            f"sha256 mismatch: file digest {digest[:8]}… does not match the "
+            f"hash embedded in the filename ({m.group(1)}) — corrupt or "
+            "wrong download"
+        )
+    return digest
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("weights", help="torch state_dict file (.pth/.pt)")
     p.add_argument("--out", default=None, help="output .npz (default: <weights>.npz)")
     args = p.parse_args(argv)
+
+    digest = verify_filename_hash(args.weights)
+    print(f"sha256 {digest}  {os.path.basename(args.weights)}", file=sys.stderr)
 
     variant, n_cls = inception.detect_variant(args.weights)
     print(f"detected variant={variant} num_classes={n_cls}", file=sys.stderr)
