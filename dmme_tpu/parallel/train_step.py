@@ -33,6 +33,15 @@ else:
 LossFn = Callable[[Any, jax.Array, Any], jax.Array]  # (params, rng, batch)
 
 
+def _value_and_grad(loss_fn: LossFn):
+    """``value_and_grad`` unless ``loss_fn`` already IS a grad function
+    (``is_grad_fn`` marker — the gradient-accumulation wrapper takes its
+    gradients inside its own scan; see training/loop.py:_microbatched)."""
+    if getattr(loss_fn, "is_grad_fn", False):
+        return loss_fn
+    return jax.value_and_grad(loss_fn)
+
+
 def make_train_step(loss_fn: LossFn, donate: bool = True):
     """Compile ``(state, batch, rng) -> (state, metrics)``.
 
@@ -40,10 +49,11 @@ def make_train_step(loss_fn: LossFn, donate: bool = True):
     folding the step counter into the run key, so resume-from-checkpoint
     reproduces the exact noise/timestep stream.
     """
+    vg = _value_and_grad(loss_fn)
 
     def step(state: TrainState, batch, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, step_rng, batch)
+        loss, grads = vg(state.params, step_rng, batch)
         new_state = state.apply_gradients(grads)
         metrics = {"loss": loss, "grad_norm": global_norm(grads)}
         return new_state, metrics
@@ -64,10 +74,12 @@ def make_train_chunk(loss_fn: LossFn, steps: int, donate: bool = True):
     input DMA with compute. The host only needs to prefetch K batches.
     """
 
+    vg = _value_and_grad(loss_fn)
+
     def chunk(state: TrainState, batches, rng: jax.Array):
         def one(state: TrainState, batch):
             step_rng = jax.random.fold_in(rng, state.step)
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, step_rng, batch)
+            loss, grads = vg(state.params, step_rng, batch)
             new_state = state.apply_gradients(grads)
             return new_state, {"loss": loss, "grad_norm": global_norm(grads)}
 

@@ -321,21 +321,41 @@ def _train_loop(
 
 
 def _microbatched(loss_fn, k: int):
-    """Gradient accumulation: mean loss over k stacked microbatches via scan
-    (reference: LSUN configs accumulate_grad_batches=32)."""
+    """Gradient accumulation over k stacked microbatches (reference: LSUN
+    configs accumulate_grad_batches=32).
+
+    The gradient is taken INSIDE the scan body and summed in the carry —
+    differentiating through a scanned mean-loss instead makes XLA save every
+    microbatch's activations for the backward pass, which multiplies peak
+    HBM by k (measured: the LSUN-256 b2×a32 recipe needs 24.9 GiB that way
+    vs a 15.75 GiB chip; scripts/bigshape_probe.py). Returns a
+    ``(params, rng, stacked) -> (loss, grads)`` function; marked with
+    ``is_grad_fn`` so the train-step factories skip their own
+    ``value_and_grad``."""
     import jax.numpy as jnp
 
-    def accum(params, rng, stacked):
+    vg = jax.value_and_grad(loss_fn)
+
+    def accum_grads(params, rng, stacked):
         keys = jax.random.split(rng, k)
 
         def body(carry, inp):
             key, mb = inp
-            return carry + loss_fn(params, key, mb), None
+            loss, grads = vg(params, key, mb)
+            acc_loss, acc_grads = carry
+            return (
+                acc_loss + loss,
+                jax.tree.map(jnp.add, acc_grads, grads),
+            ), None
 
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), (keys, stacked))
-        return total / k
+        zeros = jax.tree.map(lambda p: jnp.zeros_like(p), params)
+        (total, grad_sum), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), zeros), (keys, stacked)
+        )
+        return total / k, jax.tree.map(lambda g: g / k, grad_sum)
 
-    return accum
+    accum_grads.is_grad_fn = True
+    return accum_grads
 
 
 def _call(cb, hook: str, **kwargs) -> None:

@@ -356,3 +356,33 @@ class TestFaultTolerance:
         dm = CIFAR10(synthetic=True, synthetic_size=32, batch_size=8)
         with pytest.raises(ValueError, match="ckpt_dir"):
             fit(lit, dm, max_steps=1, max_restarts=1)
+
+
+class TestMicrobatchedGrads:
+    def test_matches_full_batch_gradient(self, rng):
+        """Scan-carried grad accumulation == value_and_grad of the scanned
+        mean loss (the old formulation, which multiplied peak HBM by k by
+        saving every microbatch's residuals — scripts/bigshape_probe.py)."""
+        import jax.numpy as jnp
+
+        from dmme_tpu.training.loop import _microbatched
+
+        lit = tiny_lit()
+        loss_fn = lit.make_loss_fn(None)
+        params = lit.init_state(rng, img_size=32).params
+        stacked = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 32, 32, 3))
+
+        accum = _microbatched(loss_fn, 2)
+        assert accum.is_grad_fn
+        loss_a, grads_a = accum(params, jax.random.PRNGKey(5), stacked)
+
+        def mean_loss(p, r, st):
+            keys = jax.random.split(r, 2)
+            return (loss_fn(p, keys[0], st[0]) + loss_fn(p, keys[1], st[1])) / 2
+
+        loss_b, grads_b = jax.value_and_grad(mean_loss)(
+            params, jax.random.PRNGKey(5), stacked
+        )
+        assert jnp.allclose(loss_a, loss_b, rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_b)):
+            assert jnp.allclose(a, b, rtol=1e-4, atol=1e-6)
