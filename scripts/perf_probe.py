@@ -19,6 +19,10 @@ BATCH = 128
 if variant.startswith("b") and variant[1:].isdigit():  # e.g. b256
     BATCH = int(variant[1:])
 
+CHUNK_OVERRIDE = None
+if variant.startswith("chunk"):  # e.g. chunk20: amortize per-chunk copies
+    CHUNK_OVERRIDE = int(variant[5:])
+
 import jax
 
 if variant == "rbg":
@@ -37,6 +41,9 @@ from dmme_tpu.parallel import make_train_chunk
 from dmme_tpu.training import LitDDPM
 
 CHUNK, TIMED = 10, 4
+if CHUNK_OVERRIDE:
+    CHUNK = CHUNK_OVERRIDE
+    TIMED = max(1, 40 // CHUNK)
 
 
 def sample_main():
