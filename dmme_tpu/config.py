@@ -97,7 +97,14 @@ def _set_dotted(config: Dict[str, Any], dotted: str, value: Any) -> None:
     keys = dotted.split(".")
     node = config
     for k in keys[:-1]:
-        node = node.setdefault(k, {})
+        child = node.get(k)
+        if not isinstance(child, dict):
+            # traversing through a `key: null` (shipped configs use
+            # `mesh: null`) or a scalar: replace with a mapping so the
+            # override applies instead of TypeError'ing on None[...]
+            child = {}
+            node[k] = child
+        node = child
     node[keys[-1]] = value
 
 
@@ -165,7 +172,15 @@ def validate_config(config: Dict[str, Any]) -> Dict[str, Any]:
         if config.get(slot) is not None:
             _validate_class_tree(config[slot], slot)
     for slot in ("callbacks", "loggers"):
-        for i, node in enumerate(trainer.get(slot) or []):
+        nodes = trainer.get(slot)
+        if nodes is None:
+            continue
+        if not isinstance(nodes, list):
+            raise ConfigError(
+                f"trainer.{slot}: must be a LIST of class_path entries "
+                f"(got {type(nodes).__name__})"
+            )
+        for i, node in enumerate(nodes):
             _validate_class_tree(node, f"trainer.{slot}[{i}]")
     return config
 

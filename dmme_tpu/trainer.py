@@ -299,12 +299,19 @@ def main(argv=None) -> None:
         help="print the resolved config (after overrides) as YAML and exit",
     )
     argv = list(sys.argv[1:] if argv is None else argv)
-    if ("--help" in argv or "-h" in argv) and "--config" in argv:
-        cfg_path = argv[argv.index("--config") + 1]
-        parser.print_help()
-        print()
-        print(_introspective_help(load_config(cfg_path)))
-        return
+    if "--help" in argv or "-h" in argv:
+        cfg_path = None
+        for i, a in enumerate(argv):
+            if a == "--config" and i + 1 < len(argv):
+                cfg_path = argv[i + 1]
+            elif a.startswith("--config="):
+                cfg_path = a.split("=", 1)[1]
+        if cfg_path:
+            parser.print_help()
+            print()
+            print(_introspective_help(load_config(cfg_path)))
+            return
+        # no usable --config: fall through to argparse's own help/errors
     args, overrides = parser.parse_known_args(argv)
 
     from dmme_tpu.config import validate_config

@@ -51,11 +51,8 @@ def measure(lit, img_size, batch, *, chunk, accum=1, label=""):
     from dmme_tpu.parallel import make_train_chunk, make_train_step
     from dmme_tpu.training.loop import _microbatched
 
-    class Synth(CIFAR10):
-        pass
-
-    dm = Synth(synthetic=True, synthetic_size=max(batch * accum * 2, 64),
-               batch_size=batch)
+    dm = CIFAR10(synthetic=True, synthetic_size=max(batch * accum * 2, 64),
+                 batch_size=batch)
     # synthetic CIFAR renders 32px; resize by tiling for the probe
     dm.setup("fit")
     reps = img_size // 32
@@ -81,14 +78,16 @@ def measure(lit, img_size, batch, *, chunk, accum=1, label=""):
 
     t0 = time.perf_counter()
     state, metrics = step_fn(state, batches, rng)
-    loss = float(jax.device_get(jax.tree.leaves(metrics)[0]).reshape(-1)[-1])
+    # metrics["loss"] explicitly — tree.leaves() orders keys alphabetically
+    # (grad_norm first), which once mislabeled grad_norm as loss here
+    loss = float(jax.device_get(metrics["loss"]).reshape(-1)[-1])
     t_compile = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     reps_timed = 3
     for _ in range(reps_timed):
         state, metrics = step_fn(state, batches, rng)
-    float(jax.device_get(jax.tree.leaves(metrics)[0]).reshape(-1)[-1])
+    float(jax.device_get(metrics["loss"]).reshape(-1)[-1])
     dt = time.perf_counter() - t0
     per_step = dt / (reps_timed * (chunk if accum == 1 else 1))
     out = {

@@ -61,7 +61,7 @@ def main():
     from dmme_tpu.training.checkpoint import CheckpointManager
     from dmme_tpu.utils.norm import denorm
 
-    from demo_artifacts import label_row, tile_row  # same directory
+    from demo_artifacts import label_row, stack_rows, tile_row  # same directory
 
     config = validate_config(load_config(args.config))
     lit = instantiate(config["model"])
@@ -93,15 +93,7 @@ def main():
                       f"y={name}")
         )
 
-    pad = 4
-    h = rows[0].shape[0]
-    width = max(r.shape[1] for r in rows)
-    canvas = np.full((len(rows) * (h + pad) - pad, width, 3), 255, np.uint8)
-    for i, r in enumerate(rows):
-        canvas[i * (h + pad) : i * (h + pad) + h, : r.shape[1]] = r
-    from PIL import Image
-
-    Image.fromarray(canvas).save(args.out + "_classes.png")
+    stack_rows(rows, args.out + "_classes.png")
     print(f"# wrote {args.out}_classes.png", file=sys.stderr)
 
     print(json.dumps({

@@ -79,6 +79,21 @@ def tile_row(images, pad=2):
     return row
 
 
+def stack_rows(rows, path, pad=4):
+    """Stack labeled row strips onto one white canvas and save as PNG
+    (shared by the demo / CFG / distillation artifact scripts)."""
+    h = rows[0].shape[0]
+    width = max(r.shape[1] for r in rows)
+    canvas = np.full(
+        (len(rows) * (h + pad) - pad, width, rows[0].shape[2]), 255, np.uint8
+    )
+    for i, r in enumerate(rows):
+        canvas[i * (h + pad) : i * (h + pad) + h, : r.shape[1]] = r
+    from PIL import Image
+
+    Image.fromarray(canvas).save(path)
+
+
 def label_row(row_uint8, text, margin=52):
     from PIL import Image, ImageDraw
 
@@ -194,17 +209,7 @@ def main():
         np.random.default_rng(5).random(real.shape).astype(np.float32), real
     )
 
-    pad = 4
-    h = rows[0].shape[0]
-    width = max(r.shape[1] for r in rows)
-    canvas = np.full(
-        (len(rows) * (h + pad) - pad, width, rows[0].shape[2]), 255, np.uint8
-    )
-    for i, r in enumerate(rows):
-        canvas[i * (h + pad) : i * (h + pad) + h, : r.shape[1]] = r
-    from PIL import Image
-
-    Image.fromarray(canvas).save(args.out + "_progression.png")
+    stack_rows(rows, args.out + "_progression.png")
     print(f"# wrote {args.out}_progression.png", file=sys.stderr)
 
     # ---- final large grid -------------------------------------------------

@@ -43,7 +43,8 @@ def main():
     from dmme_tpu.training.checkpoint import CheckpointManager
     from dmme_tpu.utils.norm import denorm
 
-    from demo_artifacts import label_row, sliced_wasserstein, tile_row
+    from demo_artifacts import (label_row, sliced_wasserstein, stack_rows,
+                                tile_row)
 
     config = validate_config(load_config(args.config))
     lit = instantiate(config["model"])
@@ -96,15 +97,7 @@ def main():
         dm.train_data[args.swd_n : 2 * args.swd_n].astype(np.float32) / 255.0,
         real), 4)
 
-    pad = 4
-    h = rows[0].shape[0]
-    width = max(r.shape[1] for r in rows)
-    canvas = np.full((len(rows) * (h + pad) - pad, width, 3), 255, np.uint8)
-    for i, r in enumerate(rows):
-        canvas[i * (h + pad) : i * (h + pad) + h, : r.shape[1]] = r
-    from PIL import Image
-
-    Image.fromarray(canvas).save(args.out + "_students.png")
+    stack_rows(rows, args.out + "_students.png")
     print(f"# wrote {args.out}_students.png", file=sys.stderr)
     print(json.dumps(results))
 

@@ -455,3 +455,35 @@ class TestStrictConfig:
         assert "lr" in out and "warmup" in out
         assert "synthetic_size" in out  # data class args too
         assert "max_steps" in out      # trainer key listing
+
+    def test_override_through_null_key(self, tmp_path):
+        """Shipped configs carry `mesh: null`; a dotted override through it
+        must apply, not TypeError on None[...] (round-3 review finding)."""
+        from dmme_tpu.config import apply_overrides, load_config
+
+        cfg = self._cfg(tmp_path, extra="  mesh: null")
+        config = apply_overrides(
+            load_config(str(cfg)), ["--trainer.mesh.data", "2"]
+        )
+        assert config["trainer"]["mesh"] == {"data": 2}
+
+    def test_callbacks_mapping_rejected(self, tmp_path):
+        """callbacks given as a mapping (common YAML mistake) must fail at
+        parse time, not as an obscure iteration TypeError after device
+        init (round-3 review finding)."""
+        from dmme_tpu.config import ConfigError, load_config, validate_config
+
+        config = load_config(str(self._cfg(tmp_path)))
+        config["trainer"]["callbacks"] = {
+            "class_path": "dmme_tpu.callbacks.ProfileTrace"
+        }
+        with pytest.raises(ConfigError, match="must be a LIST"):
+            validate_config(config)
+
+    def test_help_with_config_equals_form(self, tmp_path, capsys):
+        from dmme_tpu.trainer import main
+
+        cfg = self._cfg(tmp_path)
+        main(["fit", f"--config={cfg}", "--help"])
+        out = capsys.readouterr().out
+        assert "dmme_tpu.training.LitDDPM" in out

@@ -3,6 +3,10 @@ Sphinx+KaTeX on readthedocs — here scripts/build_docs.py)."""
 
 import os
 
+import pytest
+
+pytest.importorskip("markdown")
+
 from scripts.build_docs import main as build_docs
 
 
