@@ -134,7 +134,7 @@ TRAINER_KEYS = frozenset({
     "img_size", "sample_batch", "predict_batch", "host", "port",
 })
 
-MESH_KEYS = frozenset({"data", "fsdp", "tensor"})
+MESH_KEYS = frozenset({"data", "fsdp", "tensor", "spatial"})
 
 
 class ConfigError(ValueError):

@@ -41,32 +41,54 @@ def make_mesh(
     data: int = -1,
     fsdp: int = 1,
     tensor: int = 1,
+    spatial: int = 1,
 ) -> Mesh:
-    """Build a ``(data, fsdp, tensor)`` mesh. ``data=-1`` absorbs the rest.
+    """Build a ``(data, fsdp, tensor, spatial)`` mesh. ``data=-1`` absorbs
+    the rest.
 
     Axis order = collective frequency (innermost rides the fastest ICI
-    links): tensor parallelism all-reduces activations at every sharded
+    links): spatial parallelism exchanges conv halos at every layer,
+    tensor parallelism all-reduces activations at every sharded
     contraction, fsdp all-gathers per layer, and the data axis' single
     gradient all-reduce tolerates the slower outer links / DCN.
+
+    ``spatial`` is the image-model analogue of sequence parallelism: the
+    activation H axis is sharded and XLA's SPMD partitioner inserts the
+    halo exchanges for convolutions and the cross-device reductions for
+    GroupNorm statistics automatically. Useful when ONE image's
+    activations dominate HBM (256px+ UNets at tiny per-device batch);
+    pointless at 32px where the batch axis offers all the parallelism.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
-        data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, f"mesh {data}x{fsdp}x{tensor} != {n} devices"
-    arr = np.asarray(devices).reshape(data, fsdp, tensor)
-    return Mesh(arr, ("data", "fsdp", "tensor"))
+        assert n % (fsdp * tensor * spatial) == 0, (n, fsdp, tensor, spatial)
+        data = n // (fsdp * tensor * spatial)
+    assert data * fsdp * tensor * spatial == n, (
+        f"mesh {data}x{fsdp}x{tensor}x{spatial} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(data, fsdp, tensor, spatial)
+    return Mesh(arr, ("data", "fsdp", "tensor", "spatial"))
 
 
-def batch_sharding(mesh: Mesh, chunked: bool = False) -> NamedSharding:
-    """Shard the batch axis over every mesh axis. ``chunked=True`` for
-    scan-of-steps inputs shaped (steps, batch, …): the steps axis stays
+def batch_sharding(
+    mesh: Mesh, chunked: bool = False, ndim: Optional[int] = None
+) -> NamedSharding:
+    """Shard the batch axis over the data×fsdp mesh axes. ``chunked=True``
+    for scan-of-steps inputs shaped (steps, batch, …): the steps axis stays
     unsharded (it is unstacked sequentially by the scan) and the batch axis
-    — axis 1 — is the one split across devices."""
-    if chunked:
-        return NamedSharding(mesh, P(None, ("data", "fsdp")))
-    return NamedSharding(mesh, P(("data", "fsdp")))
+    — axis 1 — is the one split across devices.
+
+    With a ``spatial`` mesh axis > 1 and a leaf rank given via ``ndim``,
+    image leaves (batch, H, W, C) additionally shard H across ``spatial``
+    — sequence parallelism for conv nets, halo exchanges inserted by the
+    SPMD partitioner. Non-image leaves (labels, scalars) stay batch-only."""
+    lead = (None,) if chunked else ()
+    spec = lead + (("data", "fsdp"),)
+    spatial = mesh.shape.get("spatial", 1)
+    if spatial > 1 and ndim is not None and ndim >= len(spec) + 3:
+        spec = spec + ("spatial",)  # the H axis of (…, batch, H, W, C)
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

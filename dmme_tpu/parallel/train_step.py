@@ -21,6 +21,7 @@ from typing import TYPE_CHECKING, Any, Callable
 import jax
 import jax.flatten_util
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh
 
 from dmme_tpu.parallel.mesh import batch_sharding, state_sharding
@@ -147,8 +148,13 @@ def shard_state(
 
 
 def shard_batch(batch, mesh: Mesh, chunked: bool = False):
-    """Split the batch axis across every mesh axis (``chunked`` = the input
-    is (steps, batch, …) for a scan-of-steps program; see batch_sharding)."""
+    """Split the batch axis across the mesh (``chunked`` = the input is
+    (steps, batch, …) for a scan-of-steps program). Per-leaf rank-aware:
+    image leaves also shard H over a ``spatial`` axis (see batch_sharding);
+    label leaves stay batch-only."""
     return jax.device_put(
-        batch, jax.tree.map(lambda _: batch_sharding(mesh, chunked), batch)
+        batch,
+        jax.tree.map(
+            lambda x: batch_sharding(mesh, chunked, ndim=np.ndim(x)), batch
+        ),
     )

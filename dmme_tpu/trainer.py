@@ -47,6 +47,7 @@ def _make_mesh(mesh_cfg: Optional[Dict[str, int]]):
         data=mesh_cfg.get("data", -1),
         fsdp=mesh_cfg.get("fsdp", 1),
         tensor=mesh_cfg.get("tensor", 1),
+        spatial=mesh_cfg.get("spatial", 1),
     )
 
 
