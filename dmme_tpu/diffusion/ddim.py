@@ -38,6 +38,12 @@ class DDIM(DDPM):
     sub_timesteps: int = struct.field(pytree_node=False, default=50)
     eta: float = struct.field(pytree_node=False, default=0.0)
     variant: str = struct.field(pytree_node=False, default="canonical")
+    #: clamp x̂₀ to [−1, 1] before the update (the official IDDPM
+    #: ``clip_denoised``). REQUIRED for near-zero terminal ᾱ (cosine
+    #: schedules: ᾱ_T ≈ 2e-15, so the x̂₀ division at t=T amplifies any ε
+    #: error by ~1/√ᾱ ≈ 2e7 — measured NaN without it); off by default to
+    #: keep exact reference parity on linear schedules (ᾱ_T ≈ 4e-5).
+    clip_x0: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(
@@ -94,6 +100,11 @@ class DDIM(DDPM):
 
         out = model_fn(params, x_tau_i, tau_i).astype(x_tau_i.dtype)
         eps_hat = self.to_eps(out, x_tau_i, ab_t)
+        if self.clip_x0:
+            # clamp the data prediction, then re-derive the ε consistent
+            # with it so BOTH update variants stay internally coherent
+            x0 = jnp.clip(eq.ddim.predict_x0(x_tau_i, ab_t, eps_hat), -1.0, 1.0)
+            eps_hat = (x_tau_i - jnp.sqrt(ab_t) * x0) / jnp.sqrt(1.0 - ab_t)
         if self.variant == "reference":
             p = eq.ddim.reverse_process(x_tau_i, ab_t, ab_prev, eps_hat)
             return p.mean

@@ -46,6 +46,9 @@ class DPMSolverPP:
     order: int = struct.field(pytree_node=False, default=2)
     #: "eps" or "v" — network output convention (eq.ddpm.eps_from_v)
     parameterization: str = struct.field(pytree_node=False, default="eps")
+    #: clamp x̂₀ to [−1, 1] (official-IDDPM clip_denoised); required for
+    #: cosine schedules where ᾱ_T ≈ 2e-15 makes the x̂₀ division explode
+    clip_x0: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(
@@ -129,6 +132,8 @@ class DPMSolverPP:
             if self.parameterization == "v":
                 out = a_t * out + s_t * x  # ε = √ᾱ·v + √(1−ᾱ)·x_t
             x0 = (x - s_t * out) / a_t
+            if self.clip_x0:
+                x0 = jnp.clip(x0, -1.0, 1.0)
 
             h = lam_p - lam_t                        # > 0; huge on final step
             ratio = jnp.exp(-h)                      # = (a_t σ_p)/(a_p σ_t)

@@ -132,6 +132,13 @@ def make_sampler(
 
         adapter = eps_only
 
+    # Near-zero terminal ᾱ (cosine schedules: ᾱ_T ≈ 2e-15 vs ≈ 4e-5 for
+    # the linear schedule) makes the solvers' x̂₀ division at t=T amplify
+    # ε error by ~1/√ᾱ_T — measured NaN (DDIM) / noise output (DPM) on a
+    # trained IDDPM. Enable the official-IDDPM clip_denoised remedy
+    # exactly there, keeping bit-parity on linear schedules.
+    clip_x0 = bool(float(schedule.alpha_bar[-1]) < 1e-6)
+
     if name == "ddim":
         algo = DDIM(
             schedule=schedule,
@@ -141,6 +148,7 @@ def make_sampler(
             eta=0.0,
             variant="canonical",
             parameterization=par,
+            clip_x0=clip_x0,
         )
     else:  # dpm
         algo = DPMSolverPP.create(
@@ -148,5 +156,5 @@ def make_sampler(
             sub_timesteps=steps,
             schedule=schedule,
             parameterization=par,
-        )
+        ).replace(clip_x0=clip_x0)
     return algo, adapter

@@ -49,4 +49,11 @@ def kl_divergence(q: Gaussian, p: Gaussian) -> jax.Array:
     """
     var_ratio = jnp.square(q.std / p.std)
     t1 = jnp.square((q.mean - p.mean) / p.std)
-    return 0.5 * (var_ratio + t1 - 1.0 - jnp.log(var_ratio))
+    # log(var_ratio) computed from the stds, NOT from the ratio: when the
+    # stds are many decades apart (IDDPM's learned variance spans e^±60 at
+    # t==1 where beta_tilde == 0) the squared ratio underflows to exactly 0
+    # and log(0) = -inf poisons the backward pass of the where-masked
+    # branch with 0*inf = NaN (measured: T=5 hybrid training NaN'd at
+    # step 2). log-of-std is finite whenever the stds themselves are.
+    log_ratio = 2.0 * (jnp.log(q.std) - jnp.log(p.std))
+    return 0.5 * (var_ratio + t1 - 1.0 - log_ratio)

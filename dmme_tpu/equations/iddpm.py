@@ -87,9 +87,14 @@ def interpolate_variance(v, beta_t, beta_tilde_t):
     """Σ_θ = exp(v · log β_t + (1 − v) · log β̃_t), the learned-variance
     interpolation. Reference: src/dmme/equations/iddpm/losses.py:34-37.
     """
-    return jnp.exp(
-        v * jnp.log(beta_t) + (1.0 - v) * jnp.log(jnp.clip(beta_tilde_t, 1e-12))
-    )
+    log_var = v * jnp.log(beta_t) + (1.0 - v) * jnp.log(jnp.clip(beta_tilde_t, 1e-12))
+    # An unconstrained v head can push the interpolated log-variance past
+    # the f32 exp range (at t==1, log beta_tilde is the -27.6 clip floor, so
+    # |v| ~ 4 already reaches exp(±60)+). Overflow to inf makes the exp
+    # backward inf even under a zero cotangent (0*inf = NaN through the
+    # t==1 where-mask in loss_vlb). Clamp to the finite-exp range; inactive
+    # for any v in the sane [0, 1] interpolation band.
+    return jnp.exp(jnp.clip(log_var, -87.0, 80.0))
 
 
 def loss_vlb(

@@ -159,9 +159,10 @@ def main():
 
     # ---- loss curve -------------------------------------------------------
     steps, losses = load_metrics(run_dir)
+    family = config["model"]["class_path"].rsplit(".", 1)[-1].replace("Lit", "")
     plot_loss(
         steps, losses, args.out + "_loss.png",
-        "DDPM on procedural Shapes — on-TPU fit via the CLI "
+        f"{family} on procedural Shapes — on-TPU fit via the CLI "
         f"({int(steps[-1])} steps, batch {dm.batch_size})",
     )
     if args.loss_only:
@@ -175,8 +176,14 @@ def main():
     all_steps = sorted(mgr._mgr.all_steps())
     assert all_steps, f"no checkpoints under {run_dir}"
 
-    algo, adapt = make_sampler(lit.diffusion_model, args.sampler, args.steps)
-    model_fn = adapt(lit.model_fn)
+    if args.sampler == "native":
+        # the model's OWN configured sampler (e.g. IDDPM §4 strided with
+        # learned variances) — consumes the raw network output, no adapter
+        algo = getattr(lit, "sample_algorithm", None) or lit.diffusion_model
+        model_fn = lit.model_fn
+    else:
+        algo, adapt = make_sampler(lit.diffusion_model, args.sampler, args.steps)
+        model_fn = adapt(lit.model_fn)
     # ONE compiled shape serves both artifacts: the progression row shows
     # the first n of the swd_n samples drawn per checkpoint
     shape = (args.swd_n, img_size, img_size, lit.img_channels)
@@ -221,6 +228,8 @@ def main():
     )
     big = np.asarray(jax.device_get(denorm(big)), np.float32)
     grid = make_history([big])
+    from PIL import Image
+
     Image.fromarray((np.clip(grid, 0, 1) * 255).astype(np.uint8)).save(
         args.out + "_samples.png"
     )

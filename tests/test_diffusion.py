@@ -223,11 +223,93 @@ class TestIDDPM:
         assert out.shape == (2, 16, 16, 3)
         assert np.isfinite(np.asarray(out)).all()
 
+    @pytest.mark.parametrize("loss_type", ["hybrid", "vlb"])
+    def test_extreme_variance_head_gradient_finite(self, iddpm_denoiser, rng, loss_type):
+        """Regression: an unconstrained v head at t==1 (where beta_tilde == 0)
+        interpolates the variance across e^±60; (sigma_q/sigma_p)^2 underflowed
+        to 0, log(0) = -inf in the where-masked KL branch, and the backward
+        pass NaN'd through 0*inf — a real T=5 CLI fit hit NaN grads at step 2.
+        The fix: kl_divergence takes the log term from the stds, and
+        interpolate_variance clamps the log-variance to the finite-exp range."""
+        fn, params = iddpm_denoiser
+
+        def wild_fn(p, x, t, **kw):
+            out = fn(p, x, t, **kw)
+            eps, v = jnp.split(out, 2, axis=-1)
+            # push v far outside [0, 1]: underflow AND overflow pixels
+            return jnp.concatenate([eps, v * 50.0], axis=-1)
+
+        algo = IDDPM.create(timesteps=5, loss_type=loss_type)
+        x0 = jnp.clip(jax.random.normal(rng, (4, 16, 16, 3)) * 0.5, -1, 1)
+        # t == 1 for every sample: the exact poisoned branch
+        t = jnp.ones((4,), jnp.int32)
+        noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+        loss, grads = jax.value_and_grad(
+            lambda p: algo.loss_given(wild_fn, p, x0, t, noise)
+        )(params)
+        assert np.isfinite(loss), loss_type
+        leaves = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves), loss_type
+
     def test_linear_schedule_variant(self, iddpm_denoiser, rng):
         fn, params = iddpm_denoiser
         algo = IDDPM.create(timesteps=100, schedule="linear")
         loss = algo.loss(fn, params, rng, jax.random.normal(rng, (2, 16, 16, 3)))
         assert np.isfinite(loss)
+
+
+class TestClipX0:
+    """Sampler-override robustness on near-zero terminal ᾱ schedules.
+
+    A trained cosine-schedule IDDPM (ᾱ_T ≈ 2e-15) sampled through the
+    DDIM/DPM overrides NaN'd / emitted noise on hardware: the x̂₀
+    division at t=T amplifies ε error by ~1/√ᾱ_T ≈ 2e7. The factory
+    auto-enables the official-IDDPM ``clip_denoised`` remedy exactly for
+    those schedules, and MUST leave it off for linear schedules to keep
+    bit-parity with the reference solvers."""
+
+    def test_factory_enables_clip_for_cosine_only(self):
+        from dmme_tpu.diffusion import make_sampler
+
+        cosine = IDDPM.create(timesteps=50)
+        linear = DDPM.create(timesteps=50)
+        for name in ("ddim", "dpm"):
+            algo_c, _ = make_sampler(cosine, name, 5)
+            algo_l, _ = make_sampler(linear, name, 5)
+            assert algo_c.clip_x0, (name, "cosine")
+            assert not algo_l.clip_x0, (name, "linear")
+
+    @pytest.mark.parametrize("name", ["ddim", "dpm"])
+    def test_cosine_override_generates_finite(self, iddpm_denoiser, name):
+        from dmme_tpu.diffusion import make_sampler
+
+        fn, params = iddpm_denoiser
+        base = IDDPM.create(timesteps=50)
+        algo, adapt = make_sampler(base, name, 5)
+        out = algo.generate(adapt(fn), params, jax.random.PRNGKey(0),
+                            (2, 16, 16, 3))
+        assert out.shape == (2, 16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all(), name
+
+    def test_clip_noop_when_x0_in_range(self, denoiser):
+        """On a linear schedule with a bounded x̂₀, clip_x0=True must be a
+        numerical no-op — the flag changes robustness, not semantics."""
+        fn, params = denoiser
+
+        def small_fn(p, x, t, **kw):
+            # keep ε̂ tiny so x̂₀ = (x_t − √(1−ᾱ)ε̂)/√ᾱ stays in [−1, 1]
+            # for the in-range x_t this sampler trajectory produces
+            return fn(p, x, t, **kw) * 1e-3
+
+        a = DDIM.create(timesteps=50, sub_timesteps=5, variant="canonical")
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 0.1
+        i = jnp.full((2,), 2, jnp.int32)  # τ-table index, mid-trajectory
+        with_clip = a.replace(clip_x0=True).sampling_step(
+            small_fn, params, x, i, jax.random.PRNGKey(2))
+        without = a.sampling_step(small_fn, params, x, i, jax.random.PRNGKey(2))
+        np.testing.assert_allclose(
+            np.asarray(with_clip), np.asarray(without), rtol=1e-5
+        )
 
 
 class TestGuidance:
