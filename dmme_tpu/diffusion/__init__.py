@@ -18,7 +18,7 @@ from dmme_tpu.diffusion.cfg import classifier_free
 from dmme_tpu.diffusion.edm import EDM
 from dmme_tpu.diffusion.distill import ProgressiveDistillation
 from dmme_tpu.diffusion.factory import make_sampler
-from dmme_tpu.diffusion.deep_cache import DeepCachedDDIM
+from dmme_tpu.diffusion.deep_cache import DeepCachedDDIM, DeepCachedDPM
 
 __all__ = [
     "DDPM",
@@ -35,4 +35,5 @@ __all__ = [
     "ProgressiveDistillation",
     "make_sampler",
     "DeepCachedDDIM",
+    "DeepCachedDPM",
 ]

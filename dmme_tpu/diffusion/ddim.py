@@ -78,6 +78,18 @@ class DDIM(DDPM):
             snr_gamma=snr_gamma,
         )
 
+    def clipped_eps(
+        self, x_t: jax.Array, ab_t: jax.Array, eps_hat: jax.Array
+    ) -> jax.Array:
+        """Apply ``clip_x0`` (if enabled): clamp the data prediction to
+        [−1, 1], then re-derive the ε consistent with it so every update
+        form stays internally coherent. Shared by the plain, encoder-cached
+        and deep-cached DDIM samplers."""
+        if not self.clip_x0:
+            return eps_hat
+        x0 = jnp.clip(eq.ddim.predict_x0(x_t, ab_t, eps_hat), -1.0, 1.0)
+        return (x_t - jnp.sqrt(ab_t) * x0) / jnp.sqrt(1.0 - ab_t)
+
     def sampling_step(
         self,
         model_fn: ModelFn,
@@ -99,12 +111,7 @@ class DDIM(DDPM):
         ab_prev = _bcast(self.schedule.alpha_bar[tau_prev], x_tau_i.ndim)
 
         out = model_fn(params, x_tau_i, tau_i).astype(x_tau_i.dtype)
-        eps_hat = self.to_eps(out, x_tau_i, ab_t)
-        if self.clip_x0:
-            # clamp the data prediction, then re-derive the ε consistent
-            # with it so BOTH update variants stay internally coherent
-            x0 = jnp.clip(eq.ddim.predict_x0(x_tau_i, ab_t, eps_hat), -1.0, 1.0)
-            eps_hat = (x_tau_i - jnp.sqrt(ab_t) * x0) / jnp.sqrt(1.0 - ab_t)
+        eps_hat = self.clipped_eps(x_tau_i, ab_t, self.to_eps(out, x_tau_i, ab_t))
         if self.variant == "reference":
             p = eq.ddim.reverse_process(x_tau_i, ab_t, ab_prev, eps_hat)
             return p.mean

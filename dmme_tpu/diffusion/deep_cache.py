@@ -34,6 +34,7 @@ from flax import struct
 import dmme_tpu.equations as eq
 from dmme_tpu.diffusion.ddim import DDIM
 from dmme_tpu.diffusion.ddpm import _bcast
+from dmme_tpu.diffusion.dpm_solver import DPMSolverPP
 
 
 @struct.dataclass
@@ -80,7 +81,7 @@ class DeepCachedDDIM(DDIM):
         def update(x, out, tau_i, tau_prev):
             ab_t = _bcast(self.schedule.alpha_bar[tau_i], x.ndim)
             ab_prev = _bcast(self.schedule.alpha_bar[tau_prev], x.ndim)
-            eps = self.to_eps(out.astype(x.dtype), x, ab_t)
+            eps = self.clipped_eps(x, ab_t, self.to_eps(out.astype(x.dtype), x, ab_t))
             return eq.ddim.reverse_process_canonical(x, ab_t, ab_prev, eps, 0.0).mean
 
         def body(carry, i):
@@ -108,3 +109,105 @@ class DeepCachedDDIM(DDIM):
 
         (x0, _), _ = jax.lax.scan(body, (x, deep0), iis)
         return x0
+
+
+@struct.dataclass
+class DeepCachedDPM(DPMSolverPP):
+    """DPM-Solver++(2M) with DeepCache: the two fastest sampling paths
+    composed. The solver already reaches DDIM-50 quality in ~20 NFE; the
+    deep-core cache then halves the cost of the remaining evaluations
+    (non-key steps run only the shallow layers above ``cache_depth``).
+
+    ``refresh_interval=1`` is exactly :class:`DPMSolverPP` (tested).
+    Same module-call API requirement as :class:`DeepCachedDDIM`."""
+
+    refresh_interval: int = struct.field(pytree_node=False, default=2)
+    cache_depth: int = struct.field(pytree_node=False, default=1)
+
+    @classmethod
+    def create(cls, timesteps: int = 1000, sub_timesteps: int = 20,
+               tau_schedule: str = "quadratic", refresh_interval: int = 2,
+               cache_depth: int = 1, order: int = 2,
+               schedule=None,
+               parameterization: str = "eps") -> "DeepCachedDPM":
+        base = DPMSolverPP.create(
+            timesteps, sub_timesteps, tau_schedule, order=order,
+            schedule=schedule, parameterization=parameterization,
+        )
+        return cls(
+            schedule=base.schedule, tau=base.tau, timesteps=timesteps,
+            sub_timesteps=base.sub_timesteps, order=base.order,
+            parameterization=base.parameterization, clip_x0=base.clip_x0,
+            refresh_interval=refresh_interval, cache_depth=cache_depth,
+        )
+
+    def generate(self, module, params, rng: jax.Array, img_shape: Tuple[int, ...]):
+        """x_T → x_0 with the 2M multistep update; the deep core runs on
+        key steps only. Mirrors :meth:`DPMSolverPP.generate` exactly
+        (same rng split, same lower-order guards) so interval 1 is the
+        canonical solver."""
+        x_key, _ = jax.random.split(rng)
+        x_t = jax.random.normal(x_key, img_shape, jnp.float32)
+        idxs = jnp.arange(self.sub_timesteps, 0, -1, dtype=jnp.int32)
+
+        t0 = jnp.broadcast_to(self.tau[self.sub_timesteps], (img_shape[0],))
+        deep0 = jax.eval_shape(
+            lambda p, xx, tt: module.apply(
+                p, xx, tt, cache_depth=self.cache_depth, return_deep=True
+            )[1],
+            params, x_t, t0,
+        )
+        deep0 = jnp.zeros(deep0.shape, deep0.dtype)
+
+        def body(carry, i):
+            x, prev_x0, prev_h, deep = carry
+            t = self.tau[i]
+            t_prev = self.tau[i - 1]
+            a_t, s_t, lam_t = self._coeffs(t)
+            a_p, s_p, lam_p = self._coeffs(t_prev)
+
+            t_vec = jnp.broadcast_to(t, (x.shape[0],))
+            k = self.sub_timesteps - i  # 0-based step index; k==0 first
+            is_key = (k % self.refresh_interval) == 0
+
+            def full(_):
+                out, new_deep = module.apply(
+                    params, x, t_vec,
+                    cache_depth=self.cache_depth, return_deep=True,
+                )
+                return out, new_deep
+
+            def reuse(_):
+                out = module.apply(
+                    params, x, t_vec,
+                    cache_depth=self.cache_depth, deep_cache=deep,
+                )
+                return out, deep
+
+            out, deep_out = jax.lax.cond(is_key, full, reuse, None)
+            out = out.astype(jnp.float32)
+            if self.parameterization == "v":
+                out = a_t * out + s_t * x
+            x0 = (x - s_t * out) / a_t
+            if self.clip_x0:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+
+            h = lam_p - lam_t
+            ratio = jnp.exp(-h)
+            first = (s_p / s_t) * x - a_p * (ratio - 1.0) * x0
+
+            if self.order == 1:
+                new_x = first
+            else:
+                r = prev_h / h
+                c = 1.0 / (2.0 * jnp.maximum(r, 1e-38))
+                d = (1.0 + c) * x0 - c * prev_x0
+                second = (s_p / s_t) * x - a_p * (ratio - 1.0) * d
+                use_first = (prev_h == 0.0) | (t_prev == 0)
+                new_x = jnp.where(use_first, first, second)
+
+            return (new_x, x0, h, deep_out), None
+
+        init = (x_t, jnp.zeros_like(x_t), jnp.float32(0.0), deep0)
+        (x_0, _, _, _), _ = jax.lax.scan(body, init, idxs)
+        return x_0

@@ -20,7 +20,8 @@ from dmme_tpu.diffusion.edm import EDM
 from dmme_tpu.diffusion.iddpm import IDDPM
 
 STEP_DEFAULTS = {"ddim": 50, "dpm": 20, "edm": 18}
-MODULE_SAMPLERS = ("cached", "deep")  # drive the UNet module, not a model_fn
+# drive the UNet module (feature-capture API), not a model_fn
+MODULE_SAMPLERS = ("cached", "deep", "deep_dpm")
 
 
 def make_module_sampler(
@@ -33,11 +34,13 @@ def make_module_sampler(
 ):
     """Algorithm for the module-driven fast samplers (feature-caching):
     ``cached`` = encoder reuse (CachedDDIM), ``deep`` = deep-core caching
-    (DeepCachedDDIM). These need the UNet module itself (feature-capture
-    API) and do not compose with the CFG wrapper — pass
-    ``conditional=True`` for class-conditional models to get a clean
-    rejection. Same trained-schedule reuse rules as make_sampler."""
-    from dmme_tpu.diffusion.deep_cache import DeepCachedDDIM
+    (DeepCachedDDIM), ``deep_dpm`` = deep-core caching on the
+    DPM-Solver++(2M) update (DeepCachedDPM). These need the UNet module
+    itself (feature-capture API) and do not compose with the CFG
+    wrapper — pass ``conditional=True`` for class-conditional models to
+    get a clean rejection. Same trained-schedule reuse rules as
+    make_sampler."""
+    from dmme_tpu.diffusion.deep_cache import DeepCachedDDIM, DeepCachedDPM
     from dmme_tpu.diffusion.fast import CachedDDIM
 
     assert name in MODULE_SAMPLERS, name
@@ -57,12 +60,22 @@ def make_module_sampler(
         raise ValueError(f"sampler={name!r} needs a discrete-schedule model")
     timesteps = int(getattr(base, "timesteps"))
     par = getattr(base, "parameterization", "eps")
+    # same near-zero terminal-alpha_bar guard as make_sampler (clip_x0)
+    clip_x0 = bool(float(schedule.alpha_bar[-1]) < 1e-6)
+    if name == "deep_dpm":
+        steps = int(steps or STEP_DEFAULTS["dpm"])
+        return DeepCachedDPM.create(
+            timesteps, sub_timesteps=steps, schedule=schedule,
+            parameterization=par, refresh_interval=refresh_interval,
+            cache_depth=cache_depth,
+        ).replace(clip_x0=clip_x0)
     steps = int(steps or 50)
     common = dict(
         schedule=schedule, timesteps=timesteps,
         tau=eq.ddim.quadratic_tau(timesteps, steps),
         sub_timesteps=steps, eta=0.0, variant="canonical",
         parameterization=par, refresh_interval=refresh_interval,
+        clip_x0=clip_x0,
     )
     if name == "cached":
         return CachedDDIM(**common)

@@ -68,7 +68,7 @@ class CachedDDIM(DDIM):
         def update(x, out, tau_i, tau_prev):
             ab_t = _bcast(self.schedule.alpha_bar[tau_i], x.ndim)
             ab_prev = _bcast(self.schedule.alpha_bar[tau_prev], x.ndim)
-            eps = self.to_eps(out, x, ab_t)
+            eps = self.clipped_eps(x, ab_t, self.to_eps(out, x, ab_t))
             p = eq.ddim.reverse_process_canonical(x, ab_t, ab_prev, eps, 0.0)
             return p.mean
 

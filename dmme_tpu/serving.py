@@ -7,7 +7,7 @@ checkpoint and serves
 * ``GET  /healthz``              → ``{"status": "ok", "step": N, ...}``
 * ``POST /sample`` JSON body     → PNG grid or raw ``.npy`` bytes
       {"n": 4,                   # samples (rounded up to a batch bucket)
-       "sampler": "dpm",         # default | ddim | dpm | edm
+       "sampler": "dpm",         # default|ddim|dpm|edm|cached|deep|deep_dpm
        "steps": 20,              # solver steps (sampler-specific default)
        "seed": 0,
        "format": "png"}          # png (grid) | npy ((n,H,W,C) float32 [0,1])
@@ -30,6 +30,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
+from dmme_tpu.diffusion.factory import MODULE_SAMPLERS
 from dmme_tpu.utils.norm import denorm
 from dmme_tpu.utils.vis import make_history
 
@@ -77,10 +78,11 @@ class Sampler:
                 if sampler == "default":
                     def raw(rng, _shape=shape):
                         return self.lit.generate(self.state, rng, _shape)
-                elif sampler in ("cached", "deep"):
+                elif sampler in MODULE_SAMPLERS:
                     # feature-caching samplers drive the UNet module itself
-                    # (encoder reuse / deep-core caching; docs/performance.md
-                    # — deep@interval-2 is +35% over exact DDIM on v5e)
+                    # (encoder reuse / deep-core caching, on the DDIM or
+                    # DPM-Solver++ update; docs/performance.md —
+                    # deep@interval-2 is +35% over exact DDIM on v5e)
                     from dmme_tpu.diffusion.factory import make_module_sampler
 
                     algo = make_module_sampler(
@@ -161,7 +163,7 @@ def make_server(sampler: Sampler, host: str = "127.0.0.1", port: int = 8000):
                 "status": "ok",
                 "step": sampler.step,
                 "img_size": sampler.img_size,
-                "samplers": ["default", "ddim", "dpm", "edm", "cached", "deep"],
+                "samplers": ["default", "ddim", "dpm", "edm", *MODULE_SAMPLERS],
             })
 
         def do_POST(self):

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dmme_tpu.diffusion import DDIM, DeepCachedDDIM
+from dmme_tpu.diffusion import DDIM, DPMSolverPP, DeepCachedDDIM, DeepCachedDPM
 from dmme_tpu.models import as_model_fn, ddpm as ddpm_models
 
 TINY = dict(
@@ -75,3 +75,42 @@ class TestDeepCachedDDIM:
         assert np.all(np.isfinite(b))
         assert not np.allclose(a, b, atol=1e-6)      # it IS an approximation
         assert np.abs(a - b).mean() < 0.5 * np.abs(a).mean()  # but close
+
+
+class TestDeepCachedDPM:
+    def test_interval1_equals_canonical_dpm(self, model_and_params):
+        model, params = model_and_params
+        algo = DeepCachedDPM.create(timesteps=40, sub_timesteps=6,
+                                    refresh_interval=1)
+        dpm = DPMSolverPP.create(timesteps=40, sub_timesteps=6)
+        key = jax.random.PRNGKey(4)
+        # both split the rng the same way -> identical x_T trajectory
+        a = algo.generate(model, params, key, (2, 32, 32, 3))
+        b = dpm.generate(as_model_fn(model), params, key, (2, 32, 32, 3))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_interval2_close_but_not_equal(self, model_and_params):
+        model, params = model_and_params
+        key = jax.random.PRNGKey(5)
+        exact = DeepCachedDPM.create(timesteps=40, sub_timesteps=6,
+                                     refresh_interval=1)
+        approx = DeepCachedDPM.create(timesteps=40, sub_timesteps=6,
+                                      refresh_interval=2, cache_depth=2)
+        a = np.asarray(exact.generate(model, params, key, (2, 32, 32, 3)))
+        b = np.asarray(approx.generate(model, params, key, (2, 32, 32, 3)))
+        assert np.all(np.isfinite(b))
+        assert not np.allclose(a, b, atol=1e-6)
+        assert np.abs(a - b).mean() < 0.5 * np.abs(a).mean()
+
+    def test_factory_builds_deep_dpm_with_trained_schedule(self):
+        from dmme_tpu.diffusion import DDPM
+        from dmme_tpu.diffusion.factory import make_module_sampler
+
+        base = DDPM.create(timesteps=40)
+        algo = make_module_sampler(base, "deep_dpm", 6, cache_depth=2)
+        assert isinstance(algo, DeepCachedDPM)
+        assert algo.sub_timesteps == 6 and algo.cache_depth == 2
+        assert not algo.clip_x0  # linear schedule: parity preserved
+        np.testing.assert_array_equal(
+            np.asarray(algo.schedule.alpha_bar), np.asarray(base.schedule.alpha_bar)
+        )
