@@ -151,6 +151,22 @@ def main():
     float(jnp.sum(out))
     fast_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
 
+    # ---- DeepCache on the DPM-Solver++ update (opt-in, approximate): the
+    # 2nd-order solver's 20 NFE with the deep core refreshed every 2nd step ----
+    from dmme_tpu.diffusion import DeepCachedDPM
+
+    ddpm_fast = DeepCachedDPM.create(
+        timesteps=1000, sub_timesteps=20, refresh_interval=2
+    )
+    dfgen = jax.jit(ddpm_fast.generate, static_argnums=(0, 3))
+    out = dfgen(lit.model, params, jax.random.PRNGKey(1), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for i in range(SAMPLE_REPEATS):
+        out = dfgen(lit.model, params, jax.random.PRNGKey(i), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    deep_dpm_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -175,6 +191,7 @@ def main():
                 "dpm_solver_pp_2m_20step_imgs_per_sec_chip": round(dpm_ips, 2),
                 "edm_heun18_imgs_per_sec_chip": round(edm_ips, 2),
                 "ddim50_encoder_cached_imgs_per_sec_chip": round(fast_ips, 2),
+                "dpm20_deep_cached_imgs_per_sec_chip": round(deep_dpm_ips, 2),
                 "train_step_ms": round(1000 * dt / (CHUNK * CHUNKS_TIMED), 2),
                 "final_loss": round(last_loss, 4),
             }
