@@ -100,3 +100,15 @@ def test_deep_cached_sampler_via_server(server_url):
     )
     arr = np.load(io.BytesIO(body))
     assert arr.shape == (2, 8, 8, 3)
+
+
+def test_deep_dpm_sampler_via_server(server_url):
+    # Shape-only, like the `deep` test above: the fixture model has RANDOM
+    # weights, and an untrained solver trajectory can diverge (documented
+    # in docs/performance.md). Finiteness/quality on trained weights is
+    # covered by the interval-1 exactness test and the on-chip SWD probe.
+    body, ctype = _post(
+        server_url, {"n": 2, "sampler": "deep_dpm", "steps": 4, "format": "npy"}
+    )
+    arr = np.load(io.BytesIO(body))
+    assert arr.shape == (2, 8, 8, 3)
