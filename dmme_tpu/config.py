@@ -98,12 +98,19 @@ def _set_dotted(config: Dict[str, Any], dotted: str, value: Any) -> None:
     node = config
     for k in keys[:-1]:
         child = node.get(k)
-        if not isinstance(child, dict):
+        if child is None:
             # traversing through a `key: null` (shipped configs use
-            # `mesh: null`) or a scalar: replace with a mapping so the
-            # override applies instead of TypeError'ing on None[...]
+            # `mesh: null`): materialize a mapping so the override applies
             child = {}
             node[k] = child
+        elif not isinstance(child, dict):
+            # a scalar/list intermediate means the dotted path is a typo
+            # (e.g. --trainer.max_steps.typo); replacing it would silently
+            # destroy the original value — fail loudly instead
+            raise ConfigError(
+                f"cannot apply override {dotted!r}: {k!r} holds a "
+                f"{type(child).__name__}, not a mapping"
+            )
         node = child
     node[keys[-1]] = value
 
@@ -170,6 +177,11 @@ def validate_config(config: Dict[str, Any]) -> Dict[str, Any]:
             _fail_unknown(unknown, "trainer.mesh:", MESH_KEYS)
     for slot in ("model", "data"):
         if config.get(slot) is not None:
+            if not isinstance(config[slot], dict) or "class_path" not in config[slot]:
+                raise ConfigError(
+                    f"{slot}: must be a mapping with a class_path "
+                    f"(got {type(config[slot]).__name__})"
+                )
             _validate_class_tree(config[slot], slot)
     for slot in ("callbacks", "loggers"):
         nodes = trainer.get(slot)
@@ -181,6 +193,13 @@ def validate_config(config: Dict[str, Any]) -> Dict[str, Any]:
                 f"(got {type(nodes).__name__})"
             )
         for i, node in enumerate(nodes):
+            if not isinstance(node, dict) or "class_path" not in node:
+                # a bare string entry would pass through instantiate()
+                # unconstructed and the callback/logger silently never run
+                raise ConfigError(
+                    f"trainer.{slot}[{i}]: must be a mapping with a "
+                    f"class_path (got {type(node).__name__})"
+                )
             _validate_class_tree(node, f"trainer.{slot}[{i}]")
     return config
 

@@ -52,6 +52,8 @@ def render_shapes(
     1 = square. Vectorized anti-aliased rendering."""
     rng = np.random.default_rng(seed)
     s = img_size
+    # all randoms drawn up front (cheap, O(n)) so the dataset bytes for a
+    # given seed are independent of the render chunking below
     shape_kind = rng.integers(0, 2, n).astype(np.int32)
     fg = _FG[rng.integers(0, len(_FG), n)]          # (n, 3)
     bg = _BG[rng.integers(0, len(_BG), n)]          # (n, 3)
@@ -60,16 +62,28 @@ def render_shapes(
     r = rng.uniform(s * 0.12, s * 0.3, n).astype(np.float32)
 
     yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)  # (s, s)
-    dx = xx[None] - cx[:, None, None]               # (n, s, s)
-    dy = yy[None] - cy[:, None, None]
-    dist_disc = np.sqrt(dx * dx + dy * dy)
-    dist_square = np.maximum(np.abs(dx), np.abs(dy))
-    dist = np.where(shape_kind[:, None, None] == 0, dist_disc, dist_square)
-    # 1px anti-aliased edge
-    alpha = np.clip(r[:, None, None] + 0.5 - dist, 0.0, 1.0)[..., None]
-
-    img = bg[:, None, None, :] * (1 - alpha) + fg[:, None, None, :] * alpha
-    return np.clip(img, 0, 255).astype(np.uint8), shape_kind
+    out = np.empty((n, s, s, 3), np.uint8)
+    # chunked rendering: the (chunk, s, s) float32 temporaries dominate peak
+    # host RAM (~0.25 MB/image at 256px, ×7 temporaries) — cap them so big
+    # images (the 256px demo) don't need several GB transient
+    chunk = max(1, min(n, (1 << 26) // (s * s * 4)))  # ~64 MB per temp
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        dx = xx[None] - cx[lo:hi, None, None]       # (chunk, s, s)
+        dy = yy[None] - cy[lo:hi, None, None]
+        dist_disc = np.sqrt(dx * dx + dy * dy)
+        dist_square = np.maximum(np.abs(dx), np.abs(dy))
+        dist = np.where(
+            shape_kind[lo:hi, None, None] == 0, dist_disc, dist_square
+        )
+        # 1px anti-aliased edge
+        alpha = np.clip(r[lo:hi, None, None] + 0.5 - dist, 0.0, 1.0)[..., None]
+        img = (
+            bg[lo:hi, None, None, :] * (1 - alpha)
+            + fg[lo:hi, None, None, :] * alpha
+        )
+        out[lo:hi] = np.clip(img, 0, 255).astype(np.uint8)
+    return out, shape_kind
 
 
 class Shapes(DataModule):

@@ -88,7 +88,13 @@ class DDIM(DDPM):
         if not self.clip_x0:
             return eps_hat
         x0 = jnp.clip(eq.ddim.predict_x0(x_t, ab_t, eps_hat), -1.0, 1.0)
-        return (x_t - jnp.sqrt(ab_t) * x0) / jnp.sqrt(1.0 - ab_t)
+        # ᾱ_t = 1 at a degenerate τ=0 entry makes the re-derivation 0/0;
+        # keep the model's own ε there — downstream updates multiply it by
+        # an exactly-zero coefficient (see reverse_process_canonical)
+        rederived = (x_t - jnp.sqrt(ab_t) * x0) / jnp.sqrt(
+            jnp.maximum(1.0 - ab_t, 1e-20)
+        )
+        return jnp.where(ab_t >= 1.0, eps_hat, rederived)
 
     def sampling_step(
         self,

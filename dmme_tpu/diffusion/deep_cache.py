@@ -205,6 +205,9 @@ class DeepCachedDPM(DPMSolverPP):
                 second = (s_p / s_t) * x - a_p * (ratio - 1.0) * d
                 use_first = (prev_h == 0.0) | (t_prev == 0)
                 new_x = jnp.where(use_first, first, second)
+            # degenerate repeated-τ entry: identity step (see
+            # dpm_solver.py — s_p/s_t is 0/0 when t == t_prev)
+            new_x = jnp.where(t == t_prev, x, new_x)
 
             return (new_x, x0, h, deep_out), None
 

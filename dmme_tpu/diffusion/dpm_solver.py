@@ -152,6 +152,10 @@ class DPMSolverPP:
                 # coefficient 1/(2r) would blow up) use first order
                 use_first = (prev_h == 0.0) | (t_prev == 0)
                 new_x = jnp.where(use_first, first, second)
+            # degenerate repeated-τ entry (quadratic τ tables at tiny T have
+            # τ_1 = τ_0 = 0): t == t_prev makes s_p/s_t = 0/0 — the step is
+            # mathematically an identity, so take it as one
+            new_x = jnp.where(t == t_prev, x, new_x)
 
             if capture is None:
                 return (new_x, x0, h), None

@@ -81,10 +81,20 @@ def reverse_process_canonical(
     guidance (src/dmme/guidance/classifier.py:52-58).
     """
     x0 = predict_x0(x_t, alpha_bar_t, noise_in_x_t)
+    # Degenerate τ entries (quadratic τ tables have τ_1 = 0 whenever
+    # T/S² < 0.5, e.g. the reference's own T=1000/S=50 config) give
+    # ᾱ_t = 1 here; the unguarded ratio is then (1−ᾱ_prev)/0 = inf and
+    # η·inf = NaN EVEN FOR η = 0. Clamping the denominator keeps σ = 0
+    # exactly in that case (the second factor is 0 too), making the
+    # τ=0→0 step an identity and the t=1→0 step return x̂₀ — the
+    # mathematically correct limits.
     sigma = (
         eta
-        * jnp.sqrt((1.0 - alpha_bar_t_minus_one) / (1.0 - alpha_bar_t))
-        * jnp.sqrt(1.0 - alpha_bar_t / alpha_bar_t_minus_one)
+        * jnp.sqrt(
+            (1.0 - alpha_bar_t_minus_one)
+            / jnp.maximum(1.0 - alpha_bar_t, 1e-20)
+        )
+        * jnp.sqrt(jnp.clip(1.0 - alpha_bar_t / alpha_bar_t_minus_one, 0.0))
     )
     direction = jnp.sqrt(
         jnp.clip(1.0 - alpha_bar_t_minus_one - jnp.square(sigma), 0.0)

@@ -47,10 +47,16 @@ def _bucket(n: int) -> int:
 class Sampler:
     """Checkpoint-backed sampler with per-(sampler, steps, bucket) jit cache."""
 
-    def __init__(self, lit, state, img_size: int):
+    def __init__(self, lit, state, img_size: int,
+                 refresh_interval: int = 2, cache_depth: int = 1):
         self.lit = lit
         self.state = state
         self.img_size = int(img_size)
+        # feature-caching knobs for the module-driven samplers — wired from
+        # trainer.refresh_interval / trainer.cache_depth by cmd_serve so the
+        # serve surface honors the same config keys as the sample subcommand
+        self.refresh_interval = int(refresh_interval)
+        self.cache_depth = int(cache_depth)
         self.step = int(jax.device_get(state.step))
         self._cache: Dict[Tuple[str, int, int], Any] = {}
         self._lock = threading.Lock()
@@ -87,6 +93,8 @@ class Sampler:
 
                     algo = make_module_sampler(
                         self.lit.diffusion_model, sampler, steps,
+                        refresh_interval=self.refresh_interval,
+                        cache_depth=self.cache_depth,
                         conditional=getattr(self.lit, "num_classes", None)
                         is not None,
                     )

@@ -181,6 +181,13 @@ def cmd_sample(config: Dict[str, Any]) -> None:
         from dmme_tpu.utils.vis import make_history
 
         shape = (n, img_size, img_size, model.img_channels)
+        # EMA-vs-raw resolved the same way lit.generate / serving do
+        # (validate_original_weights knob) so all surfaces agree
+        params = (
+            state.params
+            if getattr(model, "validate_original_weights", False)
+            else state.ema_params
+        )
         if sampler in MODULE_SAMPLERS:  # feature-caching (module-driven)
             algo = make_module_sampler(
                 model.diffusion_model, sampler, tc.get("sample_steps"),
@@ -189,7 +196,7 @@ def cmd_sample(config: Dict[str, Any]) -> None:
                 conditional=model.num_classes is not None,
             )
             out = algo.generate(
-                model.model, state.ema_params, jax.random.PRNGKey(step), shape
+                model.model, params, jax.random.PRNGKey(step), shape
             )
         else:
             algo, adapt = make_sampler(
@@ -197,7 +204,7 @@ def cmd_sample(config: Dict[str, Any]) -> None:
             )
             # conditional models sample through the CFG wrapper (uniform labels)
             model_fn, key = model.sampling_model_fn(jax.random.PRNGKey(step), n)
-            out = algo.generate(adapt(model_fn), state.ema_params, key, shape)
+            out = algo.generate(adapt(model_fn), params, key, shape)
         grid = make_history([np.asarray(denorm(out))])
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(
@@ -260,7 +267,11 @@ def cmd_serve(config: Dict[str, Any]) -> None:
     model, data, tc, _ = _build(config)
     state, img_size, _ = _restore_state(model, data, tc)
     serve_forever(
-        Sampler(model, state, img_size),
+        Sampler(
+            model, state, img_size,
+            refresh_interval=int(tc.get("refresh_interval") or 2),
+            cache_depth=int(tc.get("cache_depth") or 1),
+        ),
         host=str(tc.get("host", "127.0.0.1")),
         port=int(tc.get("port", 8000)),
     )
@@ -310,7 +321,12 @@ def main(argv=None) -> None:
         if cfg_path:
             parser.print_help()
             print()
-            print(_introspective_help(load_config(cfg_path)))
+            # best-effort: a missing config file or un-importable class_path
+            # must not turn --help itself into a traceback
+            try:
+                print(_introspective_help(load_config(cfg_path)))
+            except Exception as e:  # noqa: BLE001 — degrade, don't crash
+                print(f"(could not introspect {cfg_path!r}: {e})")
             return
         # no usable --config: fall through to argparse's own help/errors
     args, overrides = parser.parse_known_args(argv)

@@ -61,6 +61,7 @@ def main():
     from dmme_tpu.training.checkpoint import CheckpointManager
     from dmme_tpu.utils.norm import denorm
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from demo_artifacts import label_row, stack_rows, tile_row  # same directory
 
     config = validate_config(load_config(args.config))
@@ -106,7 +107,6 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()
     sys.stdout.flush()
     sys.stderr.flush()

@@ -29,12 +29,14 @@ import jax.numpy as jnp  # noqa: E402
 from dmme_tpu.eval import inception  # noqa: E402
 
 
-def verify_filename_hash(path: str) -> str:
+def verify_filename_hash(path: str, check: bool = True) -> str:
     """torch.hub convention: ``<name>-<8hex>.pth`` embeds the first 8 hex
     chars of the file's sha256 (the integrity check torch itself applies on
     download: pt_inception-2015-12-05-6726825d.pth, inception_v3_google-
-    0cc3c7bd.pth). Verify it when present; always return the full digest so
-    the operator can pin it."""
+    0cc3c7bd.pth). Verify it when present (``check=False`` skips the
+    comparison for renamed/date-stamped local files whose suffix merely
+    looks hex-like); always return the full digest so the operator can
+    pin it."""
     import hashlib
     import re
 
@@ -44,11 +46,11 @@ def verify_filename_hash(path: str) -> str:
             h.update(block)
     digest = h.hexdigest()
     m = re.search(r"-([0-9a-f]{8})\.pth?$", os.path.basename(path))
-    if m and not digest.startswith(m.group(1)):
+    if check and m and not digest.startswith(m.group(1)):
         raise SystemExit(
             f"sha256 mismatch: file digest {digest[:8]}… does not match the "
             f"hash embedded in the filename ({m.group(1)}) — corrupt or "
-            "wrong download"
+            "wrong download (--skip-hash-check for renamed local files)"
         )
     return digest
 
@@ -57,9 +59,14 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("weights", help="torch state_dict file (.pth/.pt)")
     p.add_argument("--out", default=None, help="output .npz (default: <weights>.npz)")
+    p.add_argument(
+        "--skip-hash-check", action="store_true",
+        help="don't treat a trailing -<8hex> filename suffix as an embedded "
+        "sha256 prefix (for renamed/date-stamped local files)",
+    )
     args = p.parse_args(argv)
 
-    digest = verify_filename_hash(args.weights)
+    digest = verify_filename_hash(args.weights, check=not args.skip_hash_check)
     print(f"sha256 {digest}  {os.path.basename(args.weights)}", file=sys.stderr)
 
     variant, n_cls = inception.detect_variant(args.weights)

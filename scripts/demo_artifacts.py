@@ -30,14 +30,17 @@ import numpy as np
 
 
 def load_metrics(run_dir):
-    steps, losses = [], []
+    # keep-last per step then sort: resumed runs append overlapping step
+    # ranges to metrics.jsonl (fit re-runs steps after the restored
+    # checkpoint), which would otherwise zigzag the curve
+    by_step = {}
     with open(os.path.join(run_dir, "metrics.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
             if "loss" in rec:
-                steps.append(rec["step"])
-                losses.append(rec["loss"])
-    return np.asarray(steps), np.asarray(losses)
+                by_step[int(rec["step"])] = rec["loss"]
+    steps = sorted(by_step)
+    return np.asarray(steps), np.asarray([by_step[s] for s in steps])
 
 
 def plot_loss(steps, losses, path, title):

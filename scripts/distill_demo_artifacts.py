@@ -43,6 +43,7 @@ def main():
     from dmme_tpu.training.checkpoint import CheckpointManager
     from dmme_tpu.utils.norm import denorm
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from demo_artifacts import (label_row, sliced_wasserstein, stack_rows,
                                 tile_row)
 
@@ -103,7 +104,6 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()
     sys.stdout.flush()
     sys.stderr.flush()

@@ -425,10 +425,19 @@ class TestStrictConfig:
 
     def test_shipped_configs_validate(self):
         import glob
+        import os
 
         from dmme_tpu.config import validate_config, load_config
 
-        for path in sorted(glob.glob("configs/**/*.yaml", recursive=True)):
+        # anchor to the repo root so the test is cwd-independent, and
+        # assert non-empty so a configs/ rename can't pass vacuously
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        paths = sorted(
+            glob.glob(os.path.join(root, "configs", "**", "*.yaml"),
+                      recursive=True)
+        )
+        assert len(paths) >= 6  # at least the six reference-mirrored configs
+        for path in paths:
             validate_config(load_config(path))
 
     def test_print_config(self, tmp_path, capsys):
@@ -479,6 +488,45 @@ class TestStrictConfig:
         }
         with pytest.raises(ConfigError, match="must be a LIST"):
             validate_config(config)
+
+    def test_override_through_scalar_rejected(self, tmp_path):
+        """A dotted override that traverses a scalar (`--trainer.max_steps.typo`)
+        must fail loudly instead of silently replacing the value with a dict
+        (round-3 review finding)."""
+        from dmme_tpu.config import ConfigError, apply_overrides, load_config
+
+        config = load_config(str(self._cfg(tmp_path)))
+        with pytest.raises(ConfigError, match="max_steps"):
+            apply_overrides(config, ["--trainer.max_steps.typo", "5"])
+        assert config["trainer"]["max_steps"] == 1  # untouched
+
+    def test_bare_string_callback_rejected(self, tmp_path):
+        """A bare class-path string in callbacks would pass through
+        instantiate() unconstructed and silently never run (round-3 review
+        finding)."""
+        from dmme_tpu.config import ConfigError, load_config, validate_config
+
+        config = load_config(str(self._cfg(tmp_path)))
+        config["trainer"]["callbacks"] = ["dmme_tpu.callbacks.ProfileTrace"]
+        with pytest.raises(ConfigError, match="class_path"):
+            validate_config(config)
+
+    def test_bare_string_model_rejected(self, tmp_path):
+        from dmme_tpu.config import ConfigError, load_config, validate_config
+
+        config = load_config(str(self._cfg(tmp_path)))
+        config["model"] = "dmme_tpu.training.LitDDPM"
+        with pytest.raises(ConfigError, match="class_path"):
+            validate_config(config)
+
+    def test_help_survives_missing_config(self, capsys):
+        """--help with an unreadable config must degrade, not traceback
+        (round-3 review finding)."""
+        from dmme_tpu.trainer import main
+
+        main(["fit", "--config", "/nonexistent/cfg.yaml", "--help"])
+        out = capsys.readouterr().out
+        assert "could not introspect" in out
 
     def test_help_with_config_equals_form(self, tmp_path, capsys):
         from dmme_tpu.trainer import main

@@ -102,6 +102,17 @@ class TestDeepCachedDPM:
         assert not np.allclose(a, b, atol=1e-6)
         assert np.abs(a - b).mean() < 0.5 * np.abs(a).mean()
 
+    def test_degenerate_tau_entry_finite(self, model_and_params):
+        """Same τ_1 = 0 identity-step guard as DPMSolverPP (round-3
+        review finding)."""
+        model, params = model_and_params
+        algo = DeepCachedDPM.create(timesteps=40, sub_timesteps=20,
+                                    refresh_interval=2)
+        assert int(algo.tau[1]) == 0
+        out = algo.generate(model, params, jax.random.PRNGKey(0),
+                            (2, 32, 32, 3))
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_factory_builds_deep_dpm_with_trained_schedule(self):
         from dmme_tpu.diffusion import DDPM
         from dmme_tpu.diffusion.factory import make_module_sampler

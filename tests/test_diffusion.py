@@ -180,6 +180,22 @@ class TestDDIM:
         loss = algo.loss(fn, params, rng, jax.random.normal(rng, (2, 16, 16, 3)))
         assert np.isfinite(loss)
 
+    @pytest.mark.parametrize("eta", [0.0, 0.5])
+    def test_degenerate_tau_entry_finite(self, denoiser, eta):
+        """Quadratic τ tables have τ_1 = 0 whenever T/S² < 0.5 — including
+        the reference's own T=1000/S=50 DDIM config. The ᾱ_{τ_1} = 1
+        sentinel made the canonical update compute η·inf = NaN (for ANY η,
+        0 included) until round 3; the whole sample came out NaN
+        (round-3 review finding)."""
+        fn, params = denoiser
+        algo = DDIM.create(timesteps=100, sub_timesteps=50,
+                           tau_schedule="quadratic", eta=eta)
+        assert int(algo.tau[1]) == 0  # the degenerate entry under test
+        out = jax.jit(algo.generate, static_argnums=(0, 3))(
+            fn, params, jax.random.PRNGKey(0), (2, 16, 16, 3)
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
 
 class TestIDDPM:
     @pytest.mark.parametrize("loss_type", ["hybrid", "simple", "vlb"])

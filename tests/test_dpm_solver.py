@@ -37,6 +37,18 @@ class TestDPMSolverPP:
         b = dpm.generate(model_fn, params, key, (2, 16, 16, 3))
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
 
+    def test_degenerate_tau_entry_finite(self, rng):
+        """τ_1 = 0 (quadratic tables at T/S² < 0.5) repeats τ_0 = 0, making
+        the τ=0→0 step's s_p/s_t = 0/0 before the identity guard
+        (round-3 review finding)."""
+        model_fn, params = make_model(rng)
+        algo = DPMSolverPP.create(timesteps=100, sub_timesteps=50,
+                                  tau_schedule="quadratic", order=2)
+        assert int(algo.tau[1]) == 0
+        out = algo.generate(model_fn, params, jax.random.PRNGKey(0),
+                            (2, 16, 16, 3))
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_order2_finite_and_distinct(self, rng):
         model_fn, params = make_model(rng)
         kw = dict(timesteps=100, sub_timesteps=10)
