@@ -19,6 +19,7 @@ from dmme_tpu.diffusion.edm import EDM
 from dmme_tpu.diffusion.distill import ProgressiveDistillation
 from dmme_tpu.diffusion.factory import make_sampler
 from dmme_tpu.diffusion.deep_cache import DeepCachedDDIM, DeepCachedDPM
+from dmme_tpu.diffusion.unipc import UniPC
 
 __all__ = [
     "DDPM",
@@ -36,4 +37,5 @@ __all__ = [
     "make_sampler",
     "DeepCachedDDIM",
     "DeepCachedDPM",
+    "UniPC",
 ]

@@ -18,8 +18,10 @@ from dmme_tpu.diffusion.ddim import DDIM
 from dmme_tpu.diffusion.dpm_solver import DPMSolverPP
 from dmme_tpu.diffusion.edm import EDM
 from dmme_tpu.diffusion.iddpm import IDDPM
+from dmme_tpu.diffusion.unipc import UniPC
 
-STEP_DEFAULTS = {"ddim": 50, "dpm": 20, "edm": 18}
+# unipc defaults to 10 NFE — the very-low-NFE regime its corrector targets
+STEP_DEFAULTS = {"ddim": 50, "dpm": 20, "edm": 18, "unipc": 10}
 # drive the UNet module (feature-capture API), not a model_fn
 MODULE_SAMPLERS = ("cached", "deep", "deep_dpm")
 
@@ -95,7 +97,7 @@ def make_sampler(
     network is σ-conditioned, not t-conditioned.
     """
     if name not in STEP_DEFAULTS:
-        raise ValueError(f"unknown sampler {name!r} (ddim|dpm|edm)")
+        raise ValueError(f"unknown sampler {name!r} (ddim|dpm|edm|unipc)")
     steps = int(steps or STEP_DEFAULTS[name])
 
     def identity(fn):
@@ -163,6 +165,13 @@ def make_sampler(
             parameterization=par,
             clip_x0=clip_x0,
         )
+    elif name == "unipc":
+        algo = UniPC.create(
+            timesteps,
+            sub_timesteps=steps,
+            schedule=schedule,
+            parameterization=par,
+        ).replace(clip_x0=clip_x0)
     else:  # dpm
         algo = DPMSolverPP.create(
             timesteps,

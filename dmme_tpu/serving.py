@@ -7,7 +7,7 @@ checkpoint and serves
 * ``GET  /healthz``              → ``{"status": "ok", "step": N, ...}``
 * ``POST /sample`` JSON body     → PNG grid or raw ``.npy`` bytes
       {"n": 4,                   # samples (rounded up to a batch bucket)
-       "sampler": "dpm",         # default|ddim|dpm|edm|cached|deep|deep_dpm
+       "sampler": "dpm",         # default|ddim|dpm|unipc|edm|cached|deep|deep_dpm
        "steps": 20,              # solver steps (sampler-specific default)
        "seed": 0,
        "format": "png"}          # png (grid) | npy ((n,H,W,C) float32 [0,1])
@@ -171,7 +171,7 @@ def make_server(sampler: Sampler, host: str = "127.0.0.1", port: int = 8000):
                 "status": "ok",
                 "step": sampler.step,
                 "img_size": sampler.img_size,
-                "samplers": ["default", "ddim", "dpm", "edm", *MODULE_SAMPLERS],
+                "samplers": ["default", "ddim", "dpm", "unipc", "edm", *MODULE_SAMPLERS],
             })
 
         def do_POST(self):

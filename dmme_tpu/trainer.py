@@ -156,7 +156,7 @@ def cmd_sample(config: Dict[str, Any]) -> None:
     """Generate a grid of samples from the latest checkpoint (extra utility —
     the reference can only sample through its test loop or callback).
 
-    ``trainer.sampler`` (ddim | dpm | edm) + ``trainer.sample_steps``
+    ``trainer.sampler`` (ddim | dpm | unipc | edm) + ``trainer.sample_steps``
     override the model's configured sampler at generation time — e.g. train
     the DDPM recipe, sample with DPM-Solver++(2M) at 20 NFE."""
     import jax

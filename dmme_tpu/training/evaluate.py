@@ -165,7 +165,7 @@ def test(
         if sample_steps is not None:
             raise ValueError(
                 "sample_steps without sampler would be silently ignored — "
-                "set sampler (ddim|dpm|edm) too"
+                "set sampler (ddim|dpm|unipc|edm) too"
             )
         algo, adapt = lit.diffusion_model, (lambda fn: fn)
 

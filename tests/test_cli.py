@@ -239,6 +239,10 @@ class TestTrainerCLI:
 
         paths = glob.glob(str(tmp_path / "runs" / "samples" / "*dpm3*"))
         assert len(paths) == 1
+        # the predictor–corrector override rides the same surface
+        main(["sample", "--config", str(cfg), "--trainer.sampler", "unipc",
+              "--trainer.sample_steps", "4", "--trainer.sample_batch", "4"])
+        assert glob.glob(str(tmp_path / "runs" / "samples" / "*unipc4*"))
 
     def test_predict_subcommand(self, tmp_path):
         """predict = per-batch raw .npy samples in [0,1] (real semantics,
