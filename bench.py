@@ -138,6 +138,20 @@ def main():
     float(jnp.sum(out))
     edm_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
 
+    # ---- UniPC predictor-corrector, 10 NFE (exact method; its corrector
+    # targets this very-low-NFE regime — see tests/test_unipc.py) ----
+    from dmme_tpu.diffusion import UniPC
+
+    uni = UniPC.create(timesteps=1000, sub_timesteps=10)
+    ugen = jax.jit(uni.generate, static_argnums=(0, 3))
+    out = ugen(model_fn, params, jax.random.PRNGKey(1), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for i in range(SAMPLE_REPEATS):
+        out = ugen(model_fn, params, jax.random.PRNGKey(i), (SAMPLE_BATCH, 32, 32, 3))
+    float(jnp.sum(out))
+    unipc_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
+
     # ---- opt-in encoder-reuse sampler (approximate; docs/performance.md) ----
     from dmme_tpu.diffusion import CachedDDIM
 
@@ -190,6 +204,7 @@ def main():
                 "ddim50_sample_imgs_per_sec_chip": round(sample_ips, 2),
                 "dpm_solver_pp_2m_20step_imgs_per_sec_chip": round(dpm_ips, 2),
                 "edm_heun18_imgs_per_sec_chip": round(edm_ips, 2),
+                "unipc10_imgs_per_sec_chip": round(unipc_ips, 2),
                 "ddim50_encoder_cached_imgs_per_sec_chip": round(fast_ips, 2),
                 "dpm20_deep_cached_imgs_per_sec_chip": round(deep_dpm_ips, 2),
                 "train_step_ms": round(1000 * dt / (CHUNK * CHUNKS_TIMED), 2),
