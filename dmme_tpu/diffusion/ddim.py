@@ -60,15 +60,14 @@ class DDIM(DDPM):
     ) -> "DDIM":
         assert parameterization in ("eps", "v"), parameterization
         beta = eq.ddpm.linear_schedule(timesteps, start, end)
-        tau_schedule = tau_schedule.lower()
-        if tau_schedule == "linear":
-            tau = eq.ddim.linear_tau(timesteps, sub_timesteps)
-        elif tau_schedule == "quadratic":
-            tau = eq.ddim.quadratic_tau(timesteps, sub_timesteps)
-        else:
-            raise NotImplementedError(f"unknown tau schedule: {tau_schedule}")
+        schedule = eq.ddpm.schedule_from_beta(beta)
+        # linear | quadratic (reference spacings) | karras (σ^{1/ρ} grid on
+        # the trained schedule, arXiv:2206.00364)
+        tau = eq.ddim.make_tau(
+            tau_schedule, timesteps, sub_timesteps, schedule.alpha_bar
+        )
         return cls(
-            schedule=eq.ddpm.schedule_from_beta(beta),
+            schedule=schedule,
             timesteps=timesteps,
             tau=tau,
             sub_timesteps=sub_timesteps,

@@ -91,7 +91,7 @@ def make_sampler(
     different solver.
 
     ``base`` is the TRAINED algorithm (source of schedule, timesteps, and
-    parameterization). ``name`` ∈ ddim | dpm | edm. The adapter wraps the
+    parameterization). ``name`` ∈ ddim | dpm | unipc | edm. The adapter wraps the
     model_fn (identity except for IDDPM models, whose ε‖v output is
     sliced to ε). EDM override applies only to EDM-trained models — the
     network is σ-conditioned, not t-conditioned.

@@ -87,11 +87,11 @@ class UniPC:
         if schedule is None:
             beta = eq.ddpm.linear_schedule(timesteps, start, end)
             schedule = eq.ddpm.schedule_from_beta(beta)
-        tau_fn = {"linear": eq.ddim.linear_tau,
-                  "quadratic": eq.ddim.quadratic_tau}[tau_schedule]
         return cls(
             schedule=schedule,
-            tau=tau_fn(timesteps, sub_timesteps),
+            tau=eq.ddim.make_tau(
+                tau_schedule, timesteps, sub_timesteps, schedule.alpha_bar
+            ),
             timesteps=timesteps,
             sub_timesteps=sub_timesteps,
             order=order,

@@ -41,6 +41,58 @@ def quadratic_tau(timesteps: int, sub_timesteps: int) -> jax.Array:
     return jnp.round(c * jnp.square(all_i)).astype(jnp.int32)
 
 
+def karras_tau(
+    alpha_bar: jax.Array, sub_timesteps: int, rho: float = 7.0
+) -> jax.Array:
+    """τ table from the Karras et al. 2022 σ spacing (length ``S+1``,
+    τ_0 = 0), mapped onto the trained discrete schedule.
+
+    Beyond the reference's linear/quadratic spacings: lay S points evenly
+    in σ^{1/ρ} between σ(t=T) and σ(t=1) — where σ(t) = √(1−ᾱ_t)/√ᾱ_t is
+    the VP noise level — then snap each to the nearest discrete timestep.
+    The ρ=7 spacing concentrates steps at low noise, which is where
+    few-step solvers lose most quality (arXiv:2206.00364 §5). Snapping can
+    repeat a timestep at very small T; the samplers treat repeated-τ
+    entries as identity steps.
+    """
+    ab = alpha_bar.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    # σ over the REAL timesteps 1..T (index 0 is the ᾱ=1 sentinel: σ=0,
+    # which would put -inf into the grid)
+    sigma = jnp.sqrt((1.0 - ab[1:]) / jnp.maximum(ab[1:], 1e-38))
+    s_min, s_max = sigma[0], sigma[-1]
+    i = jnp.arange(sub_timesteps, dtype=jnp.float32) / max(sub_timesteps - 1, 1)
+    grid = (
+        s_max ** (1.0 / rho) + i * (s_min ** (1.0 / rho) - s_max ** (1.0 / rho))
+    ) ** rho  # σ decreasing, σ_max first
+    # nearest discrete t per grid point (σ is monotone decreasing in ᾱ,
+    # increasing in t) — +1 restores the 1-based timestep index
+    t_of = jnp.argmin(
+        jnp.abs(sigma[None, :] - grid[:, None]), axis=1
+    ).astype(jnp.int32) + 1
+    # τ ascending with the σ grid reversed, sentinel 0 up front
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), t_of[::-1]])
+
+
+def make_tau(
+    name: str, timesteps: int, sub_timesteps: int, alpha_bar=None
+) -> jax.Array:
+    """Dispatch a τ table by spacing name: linear | quadratic | karras.
+
+    ``alpha_bar`` is required for karras (σ spacing lives on the trained
+    schedule); the reference spacings need only T and S.
+    """
+    name = name.lower()
+    if name == "linear":
+        return linear_tau(timesteps, sub_timesteps)
+    if name == "quadratic":
+        return quadratic_tau(timesteps, sub_timesteps)
+    if name == "karras":
+        if alpha_bar is None:
+            raise ValueError("karras tau spacing needs the schedule's alpha_bar")
+        return karras_tau(alpha_bar, sub_timesteps)
+    raise NotImplementedError(f"unknown tau schedule: {name}")
+
+
 def predict_x0(x_t: jax.Array, alpha_bar_t: jax.Array, noise_in_x_t: jax.Array) -> jax.Array:
     """x̂_0 = (x_t − √(1 − ᾱ_t) · ε_θ) / √ᾱ_t (paper-correct denominator)."""
     return (x_t - jnp.sqrt(1.0 - alpha_bar_t) * noise_in_x_t) * jax.lax.rsqrt(alpha_bar_t)

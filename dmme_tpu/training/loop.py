@@ -216,6 +216,28 @@ def _fit_once(
             next(it)
     step = start_step
     holder = {"state": state}  # progress visible to the interrupt handler
+    # Preemption notices arrive as SIGTERM (cluster schedulers, `timeout`,
+    # supervisors) — route them through the same graceful-save path as
+    # Ctrl-C so a preempted run leaves a checkpoint at its true progress.
+    # (Motivating incident: an externally SIGKILLed... SIGTERMed run lost
+    # 2000 steps because only KeyboardInterrupt saved.) Main thread only:
+    # signal.signal raises ValueError elsewhere, and library code must not
+    # steal handlers from an embedding application off the main thread.
+    import signal
+    import threading
+
+    prev_sigterm = None
+    sigterm_installed = False
+
+    def _on_sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    if threading.current_thread() is threading.main_thread():
+        try:
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+            sigterm_installed = True
+        except ValueError:
+            pass
     try:
         state, step = _train_loop(
             lit, holder, step, max_steps, it, train_step, run_rng, place_batch,
@@ -238,6 +260,12 @@ def _fit_once(
                 # interrupt
                 pass
         raise
+    finally:
+        if sigterm_installed:
+            # a None return means "installed from C, unrepresentable here";
+            # fall back to the default disposition rather than keeping ours
+            signal.signal(signal.SIGTERM,
+                          signal.SIG_DFL if prev_sigterm is None else prev_sigterm)
 
     if ckpt is not None:
         if ckpt.latest_step() != max_steps:

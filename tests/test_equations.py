@@ -85,6 +85,26 @@ class TestDDIMTau:
         )
         assert lin[0] == 0 and quad[0] == 0
 
+    def test_karras_tau_properties(self):
+        """σ^{1/ρ} spacing on the trained schedule (arXiv:2206.00364):
+        length S+1, sentinel 0, endpoints at t=T and the low-noise end,
+        monotone, and denser at low noise than at high noise."""
+        beta = eq.ddpm.linear_schedule(1000)
+        ab = eq.ddpm.schedule_from_beta(beta).alpha_bar
+        tau = np.asarray(eq.ddim.karras_tau(ab, 10))
+        assert tau.shape == (11,)
+        assert tau[0] == 0 and tau[-1] == 1000
+        assert tau[1] >= 1  # never maps onto the ᾱ=1 sentinel row
+        assert (np.diff(tau) >= 0).all()
+        # ρ=7 concentrates steps at LOW noise: early gaps smaller than late
+        assert tau[2] - tau[1] < tau[-1] - tau[-2]
+        # dispatcher parity + a loud error for karras without a schedule
+        np.testing.assert_array_equal(
+            tau, np.asarray(eq.ddim.make_tau("karras", 1000, 10, ab))
+        )
+        with pytest.raises(ValueError, match="alpha_bar"):
+            eq.ddim.make_tau("karras", 1000, 10)
+
     def test_canonical_eta0_drops_noise_keeps_direction(self, rng):
         x_t = jax.random.normal(rng, (2, 4, 4, 3))
         eps = jax.random.normal(jax.random.fold_in(rng, 1), x_t.shape)

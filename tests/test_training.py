@@ -351,6 +351,33 @@ class TestFaultTolerance:
                 callbacks=[AlwaysBomb()], max_restarts=2,
             )
 
+    @pytest.mark.slow
+    def test_sigterm_preemption_saves_checkpoint(self, tmp_path, rng):
+        """Cluster preemption / `timeout` sends SIGTERM: fit() must route it
+        through the same graceful-save path as Ctrl-C so the run leaves a
+        checkpoint at its true progress (round-3 incident: a SIGTERMed 256px
+        run lost 2000 steps because only KeyboardInterrupt saved)."""
+        import signal
+
+        lit = tiny_lit()
+        dm = CIFAR10(synthetic=True, synthetic_size=64, batch_size=8)
+
+        class Preempt:
+            def on_train_step_end(self, step, lit, state, logger=None):
+                if step == 3:
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+        before = signal.getsignal(signal.SIGTERM)
+        with pytest.raises(KeyboardInterrupt):
+            fit(
+                lit, dm, max_steps=100,
+                ckpt_dir=str(tmp_path / "ckpt"), ckpt_every=1000,
+                log_every=1000, callbacks=[Preempt()],
+            )
+        assert CheckpointManager(str(tmp_path / "ckpt")).latest_step() == 3
+        # the handler must not leak past fit()
+        assert signal.getsignal(signal.SIGTERM) == before
+
     def test_max_restarts_requires_ckpt_dir(self):
         lit = tiny_lit()
         dm = CIFAR10(synthetic=True, synthetic_size=32, batch_size=8)

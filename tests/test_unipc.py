@@ -230,6 +230,21 @@ class TestUniPC:
         assert algo2.clip_x0
         assert algo2.sub_timesteps == 10  # unipc NFE default
 
+    def test_karras_spacing_end_to_end(self):
+        """tau_schedule='karras' rides the same create() surface on all
+        three discrete solvers and samples finite."""
+        from dmme_tpu.diffusion import DDIM
+
+        for cls in (UniPC, DPMSolverPP, DDIM):
+            algo = cls.create(timesteps=1000, sub_timesteps=8,
+                              tau_schedule="karras")
+            fn = poly_x0_model(algo.schedule, [0.2])
+            out = jax.jit(algo.generate, static_argnums=(0, 3))(
+                fn, None, jax.random.PRNGKey(3), SHAPE
+            )
+            assert np.isfinite(np.asarray(out)).all(), cls.__name__
+            assert int(algo.tau[-1]) == 1000
+
     def test_history_capture(self):
         algo = UniPC.create(timesteps=100, sub_timesteps=6)
         fn = poly_x0_model(algo.schedule, [0.0])
