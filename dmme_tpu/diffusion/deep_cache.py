@@ -187,7 +187,7 @@ class DeepCachedDPM(DPMSolverPP):
             out, deep_out = jax.lax.cond(is_key, full, reuse, None)
             out = out.astype(jnp.float32)
             if self.parameterization == "v":
-                out = a_t * out + s_t * x
+                out = eq.ddpm.eps_from_v(out, x, jnp.square(a_t))
             x0 = (x - s_t * out) / a_t
             if self.clip_x0:
                 x0 = jnp.clip(x0, -1.0, 1.0)

@@ -80,14 +80,9 @@ class DPMSolverPP:
 
     # ------------------------------------------------------------------ math
     def _coeffs(self, t: jax.Array):
-        """(α_t, σ_t, λ_t) at integer timestep(s) t, float32."""
-        ab = self.schedule.alpha_bar[t]
-        alpha = jnp.sqrt(ab)
-        sigma = jnp.sqrt(1.0 - ab)
-        # λ = log(α/σ); at τ=0, σ=0 ⇒ λ=+inf, handled by the first-order
-        # final step (exp(-inf)=0 and σ_prev/σ_t=0 are both well-defined).
-        lam = jnp.log(alpha) - jnp.log(jnp.maximum(sigma, 1e-38))
-        return alpha, sigma, lam
+        """(α_t, σ_t, λ_t) — shared λ-space definition incl. the σ clamp
+        the lower-order final step relies on (eq.ddim.lambda_coeffs)."""
+        return eq.ddim.lambda_coeffs(self.schedule.alpha_bar, t)
 
     def generate(
         self,
@@ -129,7 +124,7 @@ class DPMSolverPP:
             t_vec = jnp.broadcast_to(t, (x.shape[0],))
             out = model_fn(params, x, t_vec).astype(jnp.float32)
             if self.parameterization == "v":
-                out = a_t * out + s_t * x  # ε = √ᾱ·v + √(1−ᾱ)·x_t
+                out = eq.ddpm.eps_from_v(out, x, jnp.square(a_t))
             x0 = (x - s_t * out) / a_t
             if self.clip_x0:
                 x0 = jnp.clip(x0, -1.0, 1.0)

@@ -101,14 +101,9 @@ class UniPC:
 
     # ------------------------------------------------------------------ math
     def _coeffs(self, t: jax.Array):
-        """(α_t, σ_t, λ_t) at integer timestep(s) t, float32 (same σ clamp
-        as DPMSolverPP — λ(τ=0) is finite-huge, handled by the first-order
-        final step)."""
-        ab = self.schedule.alpha_bar[t]
-        alpha = jnp.sqrt(ab)
-        sigma = jnp.sqrt(1.0 - ab)
-        lam = jnp.log(alpha) - jnp.log(jnp.maximum(sigma, 1e-38))
-        return alpha, sigma, lam
+        """(α_t, σ_t, λ_t) — shared λ-space definition incl. the σ clamp
+        the lower-order final step relies on (eq.ddim.lambda_coeffs)."""
+        return eq.ddim.lambda_coeffs(self.schedule.alpha_bar, t)
 
     @staticmethod
     def _kernel_moments(h: jax.Array):
@@ -145,7 +140,7 @@ class UniPC:
         def x0_of(x, t_vec, s_t, a_t):
             out = model_fn(params, x, t_vec).astype(jnp.float32)
             if self.parameterization == "v":
-                out = a_t * out + s_t * x  # ε = √ᾱ·v + √(1−ᾱ)·x_t
+                out = eq.ddpm.eps_from_v(out, x, jnp.square(a_t))
             x0 = (x - s_t * out) / a_t
             if self.clip_x0:
                 x0 = jnp.clip(x0, -1.0, 1.0)

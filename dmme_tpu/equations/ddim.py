@@ -42,35 +42,61 @@ def quadratic_tau(timesteps: int, sub_timesteps: int) -> jax.Array:
 
 
 def karras_tau(
-    alpha_bar: jax.Array, sub_timesteps: int, rho: float = 7.0
+    alpha_bar: jax.Array, sub_timesteps: int, rho: float = 7.0,
+    sigma_max: float = 80.0,
 ) -> jax.Array:
     """τ table from the Karras et al. 2022 σ spacing (length ``S+1``,
     τ_0 = 0), mapped onto the trained discrete schedule.
 
     Beyond the reference's linear/quadratic spacings: lay S points evenly
-    in σ^{1/ρ} between σ(t=T) and σ(t=1) — where σ(t) = √(1−ᾱ_t)/√ᾱ_t is
-    the VP noise level — then snap each to the nearest discrete timestep.
-    The ρ=7 spacing concentrates steps at low noise, which is where
-    few-step solvers lose most quality (arXiv:2206.00364 §5). Snapping can
-    repeat a timestep at very small T; the samplers treat repeated-τ
-    entries as identity steps.
+    in σ^{1/ρ} between min(σ(t=T), ``sigma_max``) and σ(t=1) — where
+    σ(t) = √(1−ᾱ_t)/√ᾱ_t is the VP noise level — then snap each to the
+    discrete timestep nearest in log σ. The ρ=7 spacing concentrates steps
+    at low noise, which is where few-step solvers lose most quality
+    (arXiv:2206.00364 §5).
+
+    The σ_max clamp (EDM's own default for image models) matters: cosine
+    schedules reach ᾱ_T ≈ 2e-15, i.e. σ(T) ≈ 2·10⁷, and an unclamped grid
+    anchored there puts most of its points beyond the schedule's
+    penultimate timestep — at T=1000/S=10 that collapsed 6 of 10 network
+    evaluations onto repeated τ entries (round-3 review finding). At
+    σ = 80 the signal-to-noise ratio is already ~1.6·10⁻⁴, so starting
+    there from pure noise loses nothing. Snapping in log σ (not linear σ)
+    keeps nearest-neighbor meaningful across the decades σ spans. Snaps
+    can still repeat a timestep at very small T; the samplers treat
+    repeated-τ entries as identity steps.
     """
     ab = alpha_bar.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     # σ over the REAL timesteps 1..T (index 0 is the ᾱ=1 sentinel: σ=0,
     # which would put -inf into the grid)
     sigma = jnp.sqrt((1.0 - ab[1:]) / jnp.maximum(ab[1:], 1e-38))
-    s_min, s_max = sigma[0], sigma[-1]
+    s_min, s_max = sigma[0], jnp.minimum(sigma[-1], sigma_max)
     i = jnp.arange(sub_timesteps, dtype=jnp.float32) / max(sub_timesteps - 1, 1)
     grid = (
         s_max ** (1.0 / rho) + i * (s_min ** (1.0 / rho) - s_max ** (1.0 / rho))
     ) ** rho  # σ decreasing, σ_max first
-    # nearest discrete t per grid point (σ is monotone decreasing in ᾱ,
-    # increasing in t) — +1 restores the 1-based timestep index
+    # nearest discrete t per grid point, in log σ (σ is monotone increasing
+    # in t) — +1 restores the 1-based timestep index
     t_of = jnp.argmin(
-        jnp.abs(sigma[None, :] - grid[:, None]), axis=1
+        jnp.abs(jnp.log(sigma)[None, :] - jnp.log(grid)[:, None]), axis=1
     ).astype(jnp.int32) + 1
     # τ ascending with the σ grid reversed, sentinel 0 up front
     return jnp.concatenate([jnp.zeros((1,), jnp.int32), t_of[::-1]])
+
+
+def lambda_coeffs(alpha_bar: jax.Array, t: jax.Array):
+    """(α_t, σ_t, λ_t) at integer timestep(s) ``t`` for the λ = log(α/σ)
+    half-log-SNR solvers (DPM-Solver++, UniPC), float32.
+
+    The σ clamp makes λ(τ=0) finite-but-huge rather than +inf (σ₀ = 0 at
+    the ᾱ=1 sentinel); the solvers' lower-order final steps rely on
+    exp(−h) underflowing to exactly 0 there. ONE definition shared by
+    every λ-space solver so the clamp semantics cannot diverge."""
+    ab = alpha_bar[t]
+    alpha = jnp.sqrt(ab)
+    sigma = jnp.sqrt(1.0 - ab)
+    lam = jnp.log(alpha) - jnp.log(jnp.maximum(sigma, 1e-38))
+    return alpha, sigma, lam
 
 
 def make_tau(

@@ -215,14 +215,21 @@ def _fit_once(
         for _ in range(skip):
             next(it)
     step = start_step
-    holder = {"state": state}  # progress visible to the interrupt handler
+    # progress visible to the interrupt handler; "preempted" is the
+    # deferred-SIGTERM flag checked at safe points in the loop
+    holder = {"state": state, "preempted": False}
     # Preemption notices arrive as SIGTERM (cluster schedulers, `timeout`,
     # supervisors) — route them through the same graceful-save path as
-    # Ctrl-C so a preempted run leaves a checkpoint at its true progress.
-    # (Motivating incident: an externally SIGKILLed... SIGTERMed run lost
-    # 2000 steps because only KeyboardInterrupt saved.) Main thread only:
-    # signal.signal raises ValueError elsewhere, and library code must not
-    # steal handlers from an embedding application off the main thread.
+    # Ctrl-C so a preempted run leaves a checkpoint at its true progress,
+    # THEN re-deliver the signal with the default disposition so the
+    # process still dies *by SIGTERM* (WIFSIGNALED): supervisors that
+    # distinguish preemption from failure, and applications that catch
+    # KeyboardInterrupt as "user abort", must not misread a preemption.
+    # (Motivating incident: a SIGTERMed 256px run lost 2000 steps because
+    # only KeyboardInterrupt saved.) Main thread only: signal.signal
+    # raises ValueError elsewhere, and library code must not steal
+    # handlers from an embedding application off the main thread.
+    import os
     import signal
     import threading
 
@@ -230,7 +237,23 @@ def _fit_once(
     sigterm_installed = False
 
     def _on_sigterm(signum, frame):
-        raise KeyboardInterrupt
+        # DEFERRED, not raised here: an immediate raise usually lands while
+        # Python is blocked inside the step dispatch — before the loop has
+        # rebound holder["state"] — leaving only the DONATED previous state
+        # to save (verified by the subprocess preemption test). The loop
+        # raises at its next safe point, where the freshest state is whole.
+        holder["preempted"] = True
+
+    def _restore_sigterm():
+        nonlocal sigterm_installed
+        if sigterm_installed:
+            # a None return means "installed from C, unrepresentable
+            # here"; fall back to the default disposition
+            signal.signal(
+                signal.SIGTERM,
+                signal.SIG_DFL if prev_sigterm is None else prev_sigterm,
+            )
+            sigterm_installed = False
 
     if threading.current_thread() is threading.main_thread():
         try:
@@ -239,40 +262,50 @@ def _fit_once(
         except ValueError:
             pass
     try:
-        state, step = _train_loop(
-            lit, holder, step, max_steps, it, train_step, run_rng, place_batch,
-            steps_per_call, accumulate_grad_batches, log_every, ckpt,
-            ckpt_every, callbacks, logger, t_last, imgs_since, loss_fn,
-        )
-    except KeyboardInterrupt:
-        # graceful preemption: persist progress before propagating (the
-        # reference relies on Lightning's last-checkpoint only)
-        state = holder["state"]
-        if ckpt is not None:
-            try:
-                done = int(jax.device_get(state.step))
-                if ckpt.latest_step() != done:
-                    ckpt.save(done, state, force=True)
+        # the handler stays installed through the FINAL save below too —
+        # the multi-second last-checkpoint write is exactly as killable
+        # as a training step
+        try:
+            state, step = _train_loop(
+                lit, holder, step, max_steps, it, train_step, run_rng,
+                place_batch, steps_per_call, accumulate_grad_batches,
+                log_every, ckpt, ckpt_every, callbacks, logger, t_last,
+                imgs_since, loss_fn,
+            )
+            holder["state"] = state
+            if ckpt is not None:
+                if ckpt.latest_step() != max_steps:
+                    ckpt.save(max_steps, state, force=True)  # save_last parity
                 ckpt.wait()
-            except Exception:
-                # an interrupt mid-step can leave the last state's buffers
-                # donated into the in-flight call; skip rather than mask the
-                # interrupt
-                pass
-        raise
+            for cb in callbacks:
+                _call(cb, "on_fit_end", lit=lit, state=state, logger=logger)
+            if holder.get("preempted"):
+                # the notice arrived after the last loop check (e.g. during
+                # the final save): everything is persisted — honor the
+                # signal's termination semantics rather than swallowing it
+                _restore_sigterm()
+                os.kill(os.getpid(), signal.SIGTERM)
+        except KeyboardInterrupt:
+            # graceful preemption: persist progress before propagating (the
+            # reference relies on Lightning's last-checkpoint only)
+            state = holder["state"]
+            if ckpt is not None:
+                try:
+                    done = int(jax.device_get(state.step))
+                    if ckpt.latest_step() != done:
+                        ckpt.save(done, state, force=True)
+                    ckpt.wait()
+                except Exception:
+                    # an interrupt mid-step can leave the last state's
+                    # buffers donated into the in-flight call; skip rather
+                    # than mask the interrupt
+                    pass
+            if holder.get("preempted"):
+                _restore_sigterm()
+                os.kill(os.getpid(), signal.SIGTERM)  # die as SIGTERM
+            raise
     finally:
-        if sigterm_installed:
-            # a None return means "installed from C, unrepresentable here";
-            # fall back to the default disposition rather than keeping ours
-            signal.signal(signal.SIGTERM,
-                          signal.SIG_DFL if prev_sigterm is None else prev_sigterm)
-
-    if ckpt is not None:
-        if ckpt.latest_step() != max_steps:
-            ckpt.save(max_steps, state, force=True)  # save_last parity
-        ckpt.wait()
-    for cb in callbacks:
-        _call(cb, "on_fit_end", lit=lit, state=state, logger=logger)
+        _restore_sigterm()
     logger.close()
     return state
 
@@ -302,6 +335,8 @@ def _train_loop(
             batch = place_batch(batch, chunked)
         state, metrics = train_step(state, batch, run_rng)
         holder["state"] = state
+        if holder.get("preempted"):  # deferred SIGTERM: safe point, fresh state
+            raise KeyboardInterrupt
         if steps_per_call > 1:
             metrics = jax.tree.map(lambda m: m[-1], metrics)
         lead = jax.tree.leaves(batch)[0]
@@ -343,6 +378,8 @@ def _train_loop(
                 batch = place_batch(batch, False)
             state, _ = single(state, batch, run_rng)
             holder["state"] = state
+            if holder.get("preempted"):
+                raise KeyboardInterrupt
             step += 1
 
     return state, step

@@ -93,8 +93,12 @@ class TestDDIMTau:
         ab = eq.ddpm.schedule_from_beta(beta).alpha_bar
         tau = np.asarray(eq.ddim.karras_tau(ab, 10))
         assert tau.shape == (11,)
-        assert tau[0] == 0 and tau[-1] == 1000
+        assert tau[0] == 0
         assert tau[1] >= 1  # never maps onto the ᾱ=1 sentinel row
+        # σ_max clamps at 80 (EDM default) — the top node sits at the
+        # timestep where σ crosses 80, near but not at T
+        sigma = np.sqrt((1 - np.asarray(ab)[1:]) / np.asarray(ab)[1:])
+        assert abs(np.log(sigma[tau[-1] - 1]) - np.log(80.0)) < 0.05
         assert (np.diff(tau) >= 0).all()
         # ρ=7 concentrates steps at LOW noise: early gaps smaller than late
         assert tau[2] - tau[1] < tau[-1] - tau[-2]
@@ -104,6 +108,14 @@ class TestDDIMTau:
         )
         with pytest.raises(ValueError, match="alpha_bar"):
             eq.ddim.make_tau("karras", 1000, 10)
+
+    def test_karras_tau_does_not_collapse_on_cosine(self):
+        """Cosine schedules reach σ(T) ≈ 2·10⁷; without the σ_max clamp the
+        grid put 6 of 10 nodes past the penultimate timestep (round-3
+        review finding). All S real nodes must be distinct at T=1000."""
+        ab = eq.iddpm.cosine_schedule(1000)
+        tau = np.asarray(eq.ddim.karras_tau(ab, 10))
+        assert len(np.unique(tau[1:])) == 10, tau
 
     def test_canonical_eta0_drops_noise_keeps_direction(self, rng):
         x_t = jax.random.normal(rng, (2, 4, 4, 3))

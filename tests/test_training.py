@@ -356,27 +356,70 @@ class TestFaultTolerance:
         """Cluster preemption / `timeout` sends SIGTERM: fit() must route it
         through the same graceful-save path as Ctrl-C so the run leaves a
         checkpoint at its true progress (round-3 incident: a SIGTERMed 256px
-        run lost 2000 steps because only KeyboardInterrupt saved)."""
+        run lost 2000 steps because only KeyboardInterrupt saved) — and
+        then die BY SIGTERM (WIFSIGNALED), so supervisors distinguish
+        preemption from failure and embedding code that catches
+        KeyboardInterrupt cannot swallow it. Subprocess test: the handler
+        re-delivers the signal, which would kill pytest in-process."""
         import signal
+        import subprocess
+        import sys
+        import textwrap
+        import time
 
-        lit = tiny_lit()
-        dm = CIFAR10(synthetic=True, synthetic_size=64, batch_size=8)
-
-        class Preempt:
-            def on_train_step_end(self, step, lit, state, logger=None):
-                if step == 3:
-                    os.kill(os.getpid(), signal.SIGTERM)
-
-        before = signal.getsignal(signal.SIGTERM)
-        with pytest.raises(KeyboardInterrupt):
-            fit(
-                lit, dm, max_steps=100,
-                ckpt_dir=str(tmp_path / "ckpt"), ckpt_every=1000,
-                log_every=1000, callbacks=[Preempt()],
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            textwrap.dedent(
+                f"""
+                trainer:
+                  max_steps: 100000
+                  ckpt_every_n_steps: 1000000
+                  log_every_n_steps: 5
+                  default_root_dir: {tmp_path}/run
+                model:
+                  class_path: dmme_tpu.training.LitDDPM
+                  init_args:
+                    warmup: 2
+                    timesteps: 5
+                    model:
+                      class_path: dmme_tpu.models.ddpm.UNet
+                      init_args: {{pos_dim: 4, emb_dim: 8, num_groups: 2,
+                                   channels_per_depth: [4, 8, 8, 8],
+                                   num_blocks: 1}}
+                data:
+                  class_path: dmme_tpu.data.CIFAR10
+                  init_args: {{synthetic: true, synthetic_size: 16,
+                               batch_size: 4}}
+                """
             )
-        assert CheckpointManager(str(tmp_path / "ckpt")).latest_step() == 3
-        # the handler must not leak past fit()
-        assert signal.getsignal(signal.SIGTERM) == before
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "dmme_tpu.trainer", "fit",
+             "--config", str(cfg)],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        try:
+            metrics = tmp_path / "run" / "metrics.jsonl"
+            deadline = time.time() + 240  # compile headroom on a slow box
+            while time.time() < deadline:
+                if metrics.exists() and metrics.stat().st_size > 0:
+                    break
+                if proc.poll() is not None:
+                    pytest.fail(f"fit exited early: {proc.returncode}")
+                time.sleep(0.5)
+            else:
+                pytest.fail("fit never made progress")
+            proc.send_signal(signal.SIGTERM)
+            ret = proc.wait(timeout=120)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        # died BY SIGTERM (re-delivered after the save), not exit(130)/0
+        assert ret == -signal.SIGTERM, ret
+        saved = CheckpointManager(str(tmp_path / "run")).latest_step()
+        assert saved is not None and saved > 0  # true progress persisted
 
     def test_max_restarts_requires_ckpt_dir(self):
         lit = tiny_lit()

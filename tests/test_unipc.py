@@ -243,7 +243,8 @@ class TestUniPC:
                 fn, None, jax.random.PRNGKey(3), SHAPE
             )
             assert np.isfinite(np.asarray(out)).all(), cls.__name__
-            assert int(algo.tau[-1]) == 1000
+            # top node = the σ=80 (EDM σ_max clamp) crossing, near T
+            assert 900 < int(algo.tau[-1]) <= 1000
 
     def test_history_capture(self):
         algo = UniPC.create(timesteps=100, sub_timesteps=6)
