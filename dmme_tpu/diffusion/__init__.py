@@ -20,6 +20,7 @@ from dmme_tpu.diffusion.distill import ProgressiveDistillation
 from dmme_tpu.diffusion.factory import make_sampler
 from dmme_tpu.diffusion.deep_cache import DeepCachedDDIM, DeepCachedDPM
 from dmme_tpu.diffusion.unipc import UniPC
+from dmme_tpu.diffusion.inpaint import inpaint
 
 __all__ = [
     "DDPM",
@@ -38,4 +39,5 @@ __all__ = [
     "DeepCachedDDIM",
     "DeepCachedDPM",
     "UniPC",
+    "inpaint",
 ]
