@@ -14,6 +14,7 @@ from dmme_tpu.models.unet import UNet as _UNet
 
 def UNet(
     in_channels: int = 3,
+    out_channels=None,
     pos_dim: int = 128,
     emb_dim: int = 512,
     num_groups: int = 32,
@@ -30,7 +31,9 @@ def UNet(
 ) -> _UNet:
     return _UNet(
         in_channels=in_channels,
-        out_channels=in_channels,
+        # default ε-prediction (out = in); the upsampler's 2C-input/C-output
+        # conditioning concat needs them decoupled
+        out_channels=out_channels or in_channels,
         pos_dim=pos_dim,
         emb_dim=emb_dim,
         num_groups=num_groups,

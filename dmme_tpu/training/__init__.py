@@ -1,6 +1,7 @@
 """Training harness: Lit modules, state, optimizer, EMA, loops, checkpointing."""
 
-from dmme_tpu.training.lit import LitDDPM, LitDDIM, LitDistill, LitEDM, LitIDDPM
+from dmme_tpu.training.lit import (LitDDPM, LitDDIM, LitDistill, LitEDM,
+                                    LitIDDPM, LitUpsampler)
 from dmme_tpu.training.classifier import LitClassifier
 from dmme_tpu.training.state import TrainState
 from dmme_tpu.training.ema import ema_update
@@ -16,6 +17,7 @@ __all__ = [
     "LitEDM",
     "LitDistill",
     "LitClassifier",
+    "LitUpsampler",
     "TrainState",
     "ema_update",
     "warmup_schedule",

@@ -64,21 +64,14 @@ def validate(
 
     def eval_loss(p, rng_, batch):
         # labeled datamodules (with_labels=True, the CFG setup) yield
-        # (images, labels) tuples; conditional models eval conditioned on
-        # the true labels (no dropout), unconditional models drop them
+        # (images, labels) tuples; conditioning (labels / the upsampler's
+        # low-res concat) is bound by the Lit class itself
         if isinstance(batch, (tuple, list)):
             x, y = batch
         else:
             x, y = batch, None
         x = datamodule.process(x)
-        model_fn = lit.model_fn
-        if y is not None and getattr(lit, "num_classes", None) is not None:
-            y = jnp.asarray(y, jnp.int32)
-
-            def model_fn(p_, xt, t, *, train=False, rngs=None):
-                return lit.model_fn(p_, xt, t, y=y, train=train, rngs=rngs)
-
-        return lit.diffusion_model.loss(model_fn, p, rng_, x, train=False)
+        return lit.eval_loss(p, rng_, x, y)
 
     step = make_eval_step(eval_loss)
     losses = []
