@@ -14,7 +14,6 @@ from dmme_tpu.models.unet import UNet as _UNet
 
 def UNet(
     in_channels: int = 3,
-    out_channels=None,
     pos_dim: int = 128,
     emb_dim: int = 512,
     num_groups: int = 32,
@@ -28,6 +27,7 @@ def UNet(
     fused_norm: bool = False,
     fused_block: bool = False,
     num_classes=None,
+    out_channels=None,  # trailing: keeps older positional calls valid
 ) -> _UNet:
     return _UNet(
         in_channels=in_channels,

@@ -58,6 +58,11 @@ class Sampler:
         self.refresh_interval = int(refresh_interval)
         self.cache_depth = int(cache_depth)
         self.step = int(jax.device_get(state.step))
+        # conditioned-input models (LitUpsampler) have no conditioning
+        # source over this API — reject at construction, not per-request
+        from dmme_tpu.training.evaluate import _reject_conditioned_input
+
+        _reject_conditioned_input(lit, "serve")
         self._cache: Dict[Tuple[str, int, int], Any] = {}
         self._lock = threading.Lock()
 

@@ -173,6 +173,10 @@ def cmd_sample(config: Dict[str, Any]) -> None:
     if sampler:
         import os
 
+        from dmme_tpu.training.evaluate import _reject_conditioned_input
+
+        _reject_conditioned_input(model, "sample --trainer.sampler")
+
         import numpy as np
 
         from dmme_tpu.diffusion import make_sampler

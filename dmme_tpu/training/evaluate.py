@@ -71,7 +71,11 @@ def validate(
         else:
             x, y = batch, None
         x = datamodule.process(x)
-        return lit.eval_loss(p, rng_, x, y)
+        if hasattr(lit, "eval_loss"):
+            return lit.eval_loss(p, rng_, x, y)
+        # out-of-tree Lit-like modules predating the eval_loss hook: the
+        # old duck-typed contract (model_fn + diffusion_model)
+        return lit.diffusion_model.loss(lit.model_fn, p, rng_, x, train=False)
 
     step = make_eval_step(eval_loss)
     losses = []
@@ -87,6 +91,19 @@ def validate(
         "num_batches": len(losses),
         "use_ema": use_ema,
     }
+
+
+def _reject_conditioned_input(lit, where: str) -> None:
+    """Conditioned-input models (LitUpsampler: network input = x_t ‖ cond)
+    cannot run the unconditional generation paths — fail with the fix
+    instead of a cryptic conv shape error deep in the jitted scan."""
+    get = getattr(lit, "model_in_channels", None)
+    if get is not None and get() != getattr(lit, "img_channels", get()):
+        raise ValueError(
+            f"{where} has no conditioning source for a conditioned-input "
+            f"model ({type(lit).__name__}); sample through "
+            "lit.generate(..., low_res=...) — see scripts/upsample_demo.py"
+        )
 
 
 def test(
@@ -122,6 +139,7 @@ def test(
         # Reference EMA knob ``validate_original_weights`` (callbacks/
         # ema.py:27-46): evaluate the raw weights instead of the EMA copy.
         use_ema = not getattr(lit, "validate_original_weights", False)
+    _reject_conditioned_input(lit, "test")
     datamodule.prepare_data()
     datamodule.setup("test")
 

@@ -465,6 +465,15 @@ class LitUpsampler(LitDDPM):
     ) -> None:
         self.factor = int(factor)
         assert self.factor >= 2, factor
+        if kwargs.get("num_classes") is not None:
+            # the class-conditional cascade stage is not implemented: the
+            # labels would silently never reach the network (the exact trap
+            # the LitIDDPM comment warns about) — reject loudly instead
+            raise NotImplementedError(
+                "LitUpsampler does not support num_classes yet; train an "
+                "unconditional upsampler or use a class-conditional base "
+                "model + unconditional upsampler (the common cascade setup)"
+            )
         if model is None:
             model = model_lib.ddpm.UNet(
                 in_channels=2 * img_channels,
@@ -492,11 +501,9 @@ class LitUpsampler(LitDDPM):
         channels; ``cond`` must already be at the high resolution."""
 
         def model_fn(params, x_t, t, *, train=False, rngs=None):
-            c = jnp.broadcast_to(
-                cond.astype(x_t.dtype), x_t.shape[:-1] + (cond.shape[-1],)
-            )
             return self.model_fn(
-                params, jnp.concatenate([x_t, c], axis=-1), t,
+                params,
+                jnp.concatenate([x_t, cond.astype(x_t.dtype)], axis=-1), t,
                 train=train, rngs=rngs,
             )
 
@@ -541,6 +548,13 @@ class LitUpsampler(LitDDPM):
             )
         n, h, w, c = low_res.shape
         out_shape = (n, h * self.factor, w * self.factor, c)
+        if img_shape is not None and tuple(img_shape) != out_shape:
+            # the output shape is DERIVED (low_res × factor); a conflicting
+            # caller-supplied img_shape must not be silently ignored
+            raise ValueError(
+                f"img_shape {tuple(img_shape)} conflicts with "
+                f"low_res×factor = {out_shape}; omit img_shape or fix low_res"
+            )
         cond = jax.image.resize(
             jnp.asarray(low_res, jnp.float32), out_shape, "linear"
         )

@@ -67,6 +67,30 @@ class TestLitUpsampler:
         with pytest.raises(ValueError, match="low_res"):
             lit.generate(state, jax.random.PRNGKey(0), (2, 16, 16, 3))
 
+    def test_num_classes_rejected_loudly(self):
+        """A silently-unconditional class-conditional upsampler is the trap
+        the LitIDDPM comment warns about — refuse instead."""
+        with pytest.raises(NotImplementedError, match="num_classes"):
+            LitUpsampler(factor=2, num_classes=10)
+
+    def test_unconditional_surfaces_fail_with_fix(self, rng):
+        """test()/sample-override/serve have no conditioning source: they
+        must fail with a pointer, not a conv shape error in the scan."""
+        from dmme_tpu.training.evaluate import test as fid_test
+
+        lit = tiny_upsampler()
+        dm = CIFAR10(synthetic=True, synthetic_size=16, batch_size=4)
+        with pytest.raises(ValueError, match="low_res"):
+            fid_test(lit, dm, state=lit.init_state(rng, img_size=32))
+
+    def test_img_shape_conflict_rejected(self, rng):
+        lit = tiny_upsampler(factor=2)
+        state = lit.init_state(rng, img_size=16)
+        low = jnp.zeros((2, 8, 8, 3))
+        with pytest.raises(ValueError, match="conflicts"):
+            lit.generate(state, jax.random.PRNGKey(0), (2, 64, 64, 3),
+                         low_res=low)
+
     def test_validate_binds_conditioning(self, rng):
         """evaluate.validate drives lit.eval_loss — the upsampler's
         low-res concat must be bound there too, not just in training."""
