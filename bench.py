@@ -13,22 +13,10 @@ runs ~1.5-2 it/s ≈ 220 imgs/sec/chip. BASELINE.json targets ≥3× on TPU.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from dmme_tpu.utils.cache import enable_compilation_cache
-
-enable_compilation_cache()
-
-from dmme_tpu.data import CIFAR10
-from dmme_tpu.diffusion import DDIM
-from dmme_tpu.models import as_model_fn
-from dmme_tpu.parallel import make_train_chunk
-from dmme_tpu.training import LitDDPM
 
 BASELINE_IMGS_PER_SEC = 220.0  # see module docstring
 
@@ -38,10 +26,117 @@ CHUNKS_TIMED = 4
 SAMPLE_BATCH = 128
 SAMPLE_REPEATS = 2
 
+# v5e bf16 peak and the measured per-step FLOP count (docs/performance.md:87:
+# 3.53 TFLOP fwd+bwd+opt at batch 128; floor 17.9 ms => MFU = floor/measured)
+PEAK_TFLOPS_BF16 = 197.0
+TRAIN_STEP_TFLOP = 3.53
+
+PROBE_SNIPPET = (
+    "import jax, os, sys; d = jax.devices(); "
+    "print(d[0], flush=True); os._exit(0)"
+)
+
+
+def probe_backend(timeout_s: float = 60.0, attempts: int = 3):
+    """Bounded-time backend-init probe in a subprocess, with retries.
+
+    The axon TPU tunnel can stall indefinitely (BENCH_r03 died at backend
+    init with UNAVAILABLE; the r3 judge reproduced a 9m40s silent hang), so
+    backend init is treated as a fallible step: probe it in a short-lived
+    subprocess that hard-exits, retry with backoff, and report diagnostics
+    on failure instead of dying with a traceback.
+
+    Returns (ok: bool, detail: str).
+    """
+    last = ""
+    for attempt in range(attempts):
+        if attempt:
+            backoff = 10 * attempt
+            print(f"# backend probe retry {attempt + 1}/{attempts} "
+                  f"after {backoff}s backoff", file=sys.stderr, flush=True)
+            time.sleep(backoff)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", PROBE_SNIPPET],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {timeout_s:.0f}s (tunnel stalled?)"
+            continue
+        if r.returncode == 0 and r.stdout.strip():
+            return True, r.stdout.strip().splitlines()[-1]
+        last = f"probe rc={r.returncode}: {(r.stderr or '').strip()[-2000:]}"
+    return False, last
+
+
+def _python_processes():
+    """List other python processes that could hold the single-process axon
+    tunnel (diagnostic only — never kill by pattern)."""
+    procs = []
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace").strip()
+        except OSError:
+            continue
+        if "python" in cmd:
+            procs.append(f"{pid}: {cmd[:160]}")
+    return procs
+
+
+def fail_json(stage: str, detail: str) -> None:
+    """Emit a machine-readable error line so the driver never records
+    parsed=null, then hard-exit."""
+    print(json.dumps({
+        "metric": "train imgs/sec/chip, CIFAR-10 DDPM UNet (batch 128, bf16)",
+        "value": None,
+        "unit": "imgs/sec/chip",
+        "vs_baseline": None,
+        "error": f"{stage}: {detail}"[:4000],
+        "diagnostics": {
+            "python_processes": _python_processes()[:20],
+            "jax_platforms_env": os.environ.get("JAX_PLATFORMS", ""),
+        },
+    }))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(1)
+
 
 def main():
-    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+    ok, detail = probe_backend()
+    if not ok:
+        fail_json("backend_init", detail)
+    print(f"# device: {detail}", file=sys.stderr, flush=True)
 
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmme_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from dmme_tpu.data import CIFAR10
+    from dmme_tpu.diffusion import DDIM
+    from dmme_tpu.models import as_model_fn
+    from dmme_tpu.parallel import make_train_chunk
+    from dmme_tpu.training import LitDDPM
+
+    try:
+        run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
+            detail)
+    except Exception:
+        import traceback
+
+        fail_json("run", traceback.format_exc()[-3500:])
+
+
+def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
+        device_str):
     # bf16 compute / f32 params (the reference trains fp16 AMP).
     lit = LitDDPM(dtype=jnp.bfloat16)
     dm = CIFAR10(synthetic=True, synthetic_size=BATCH * CHUNK, batch_size=BATCH)
@@ -97,6 +192,9 @@ def main():
     last_loss = float(jax.device_get(metrics["loss"])[-1])  # full pipeline drain
     dt = time.perf_counter() - t0
     train_ips = BATCH * CHUNK * CHUNKS_TIMED / dt
+    step_s = dt / (CHUNK * CHUNKS_TIMED)
+    # model FLOP utilization vs v5e bf16 peak (meaningful on TPU only)
+    mfu = TRAIN_STEP_TFLOP / step_s / PEAK_TFLOPS_BF16
 
     # ---- DDIM 50-step sampler (quadratic tau over T=1000, eta=0) ----
     algo = DDIM.create(timesteps=1000, sub_timesteps=50)
@@ -207,7 +305,14 @@ def main():
                 "unipc10_imgs_per_sec_chip": round(unipc_ips, 2),
                 "ddim50_encoder_cached_imgs_per_sec_chip": round(fast_ips, 2),
                 "dpm20_deep_cached_imgs_per_sec_chip": round(deep_dpm_ips, 2),
-                "train_step_ms": round(1000 * dt / (CHUNK * CHUNKS_TIMED), 2),
+                "train_step_ms": round(1000 * step_s, 2),
+                "mfu": round(mfu, 3),
+                "mfu_derivation": f"{TRAIN_STEP_TFLOP} TFLOP/step "
+                f"(docs/performance.md trace) / {PEAK_TFLOPS_BF16} TF/s "
+                "v5e bf16 peak",
+                "compile_warmup_s": round(t_total, 1),
+                "compile_cache": dict(cache_events),
+                "device": device_str,
                 "final_loss": round(last_loss, 4),
             }
         )

@@ -35,14 +35,26 @@ class ProfileTrace:
         self._started = False
         self._stopped = False
 
-    def on_train_step_end(self, step: int, lit, state, logger=None) -> None:
+    def on_fit_start(self, lit, state, logger=None) -> None:
+        if self.start_step <= 0 and not self._started:
+            # a window anchored at step 0 can only open before any step runs
+            jax.profiler.start_trace(self.log_dir)
+            self._started = True
+
+    def on_train_step_end(self, step: int, lit, state, logger=None,
+                          stride: int = 1) -> None:
+        """``stride`` = steps executed per hook firing (``steps_per_call``).
+        With stride > 1 the window snaps to chunk boundaries: it opens at
+        the last hook firing before ``start_step`` (so up to ``stride - 1``
+        earlier steps land in the trace) and closes at the first firing at
+        or past the window end — the granularity is one chunk."""
         if self._stopped:
             return
-        # This hook fires *after* step N executes, so to capture steps
-        # [start_step, start_step + num_steps) the trace must open at the
-        # end of step start_step - 1 and close at the end of the window's
-        # last step.
-        if not self._started and step >= self.start_step - 1:
+        # This hook fires *after* steps (step - stride, step] execute, so to
+        # capture steps [start_step, start_step + num_steps) the trace must
+        # open at the last firing with step < start_step and close at the
+        # end of the window's last chunk.
+        if not self._started and step >= self.start_step - stride:
             sync(state.params)  # drain pending work: trace only the window
             jax.profiler.start_trace(self.log_dir)
             self._started = True

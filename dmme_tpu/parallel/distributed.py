@@ -44,7 +44,7 @@ def global_batch(local_batch, mesh, chunked: bool = False):
 
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
-            batch_sharding(mesh, chunked, ndim=np.ndim(x)), np.asarray(x)
+            batch_sharding(mesh, chunked, shape=np.shape(x)), np.asarray(x)
         ),
         local_batch,
     )

@@ -72,22 +72,38 @@ def make_mesh(
 
 
 def batch_sharding(
-    mesh: Mesh, chunked: bool = False, ndim: Optional[int] = None
+    mesh: Mesh,
+    chunked: bool = False,
+    ndim: Optional[int] = None,
+    shape: Optional[Sequence[int]] = None,
 ) -> NamedSharding:
     """Shard the batch axis over the data×fsdp mesh axes. ``chunked=True``
     for scan-of-steps inputs shaped (steps, batch, …): the steps axis stays
     unsharded (it is unstacked sequentially by the scan) and the batch axis
     — axis 1 — is the one split across devices.
 
-    With a ``spatial`` mesh axis > 1 and a leaf rank given via ``ndim``,
-    image leaves (batch, H, W, C) additionally shard H across ``spatial``
-    — sequence parallelism for conv nets, halo exchanges inserted by the
-    SPMD partitioner. Non-image leaves (labels, scalars) stay batch-only."""
+    With a ``spatial`` mesh axis > 1, IMAGE leaves (batch, H, W, C)
+    additionally shard H across ``spatial`` — sequence parallelism for conv
+    nets, halo exchanges inserted by the SPMD partitioner. Pass ``shape``
+    so image leaves are identified explicitly (trailing (H, W, C) with
+    small channels-last C and H divisible by the spatial size); any other
+    high-rank leaf stays batch-only. ``ndim`` alone (legacy) falls back to
+    the rank heuristic and should be avoided for new call sites."""
     lead = (None,) if chunked else ()
     spec = lead + (("data", "fsdp"),)
     spatial = mesh.shape.get("spatial", 1)
-    if spatial > 1 and ndim is not None and ndim >= len(spec) + 3:
-        spec = spec + ("spatial",)  # the H axis of (…, batch, H, W, C)
+    if spatial > 1:
+        if shape is not None:
+            is_image = (
+                len(shape) >= len(spec) + 3
+                and shape[-1] <= 16          # channels-last: C small
+                and shape[-3] % spatial == 0  # H splits evenly
+                and shape[-3] >= 2 * spatial  # each shard keeps >=2 rows
+            )
+        else:
+            is_image = ndim is not None and ndim >= len(spec) + 3
+        if is_image:
+            spec = spec + ("spatial",)  # the H axis of (…, batch, H, W, C)
     return NamedSharding(mesh, P(*spec))
 
 

@@ -155,6 +155,6 @@ def shard_batch(batch, mesh: Mesh, chunked: bool = False):
     return jax.device_put(
         batch,
         jax.tree.map(
-            lambda x: batch_sharding(mesh, chunked, ndim=np.ndim(x)), batch
+            lambda x: batch_sharding(mesh, chunked, shape=np.shape(x)), batch
         ),
     )

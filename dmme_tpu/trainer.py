@@ -359,14 +359,20 @@ def main(argv=None) -> None:
     dispatch[args.subcommand](config)
 
 
-if __name__ == "__main__":
+def script_main():
+    """Entry point for BOTH the console script (pyproject [project.scripts])
+    and ``python -m dmme_tpu.trainer``. Remote-attached PJRT clients (the
+    axon TPU tunnel) leave non-daemon threads behind; a lingering finished
+    process would hold the single tunnel and block every later jax process.
+    Hard-exit once done — only in script mode (tests import and call main()
+    in-process, which must NOT exit)."""
     main()
-    # Remote-attached PJRT clients (the axon TPU tunnel) leave non-daemon
-    # threads behind; a lingering finished process would hold the single
-    # tunnel and block every later jax process. Hard-exit once done —
-    # only in script mode (tests import and call main() in-process).
     sys.stdout.flush()
     sys.stderr.flush()
     import os
 
     os._exit(0)
+
+
+if __name__ == "__main__":
+    script_main()

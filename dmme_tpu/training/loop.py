@@ -367,6 +367,7 @@ def _train_loop(
             _call(
                 cb, "on_train_step_end",
                 step=step, lit=lit, state=state, logger=logger,
+                stride=stride,
             )
 
     # tail steps that don't fill a chunk run one-at-a-time

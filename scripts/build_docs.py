@@ -97,6 +97,7 @@ NAV_PAGES = [
     ("performance.html", "Performance"),
     ("evaluation.html", "Evaluation"),
     ("operations.html", "Operations"),
+    ("sampling.html", "Sampling"),
     ("api.html", "API"),
     ("migration.html", "Migration"),
     ("papers/ddpm.html", "· DDPM math"),
@@ -160,6 +161,14 @@ def main():
         for f in files:
             if f.endswith(".md"):
                 pages.append(os.path.relpath(os.path.join(root, f), args.docs))
+
+    # drift guard (ADVICE r3): every page must be reachable from the sidebar
+    nav_hrefs = {href for href, _ in NAV_PAGES}
+    missing = [
+        p for p in pages
+        if p[:-3].replace(os.sep, "/") + ".html" not in nav_hrefs
+    ]
+    assert not missing, f"pages missing from NAV_PAGES: {missing}"
 
     os.makedirs(args.out, exist_ok=True)
     for rel in sorted(pages):
