@@ -16,6 +16,7 @@ from dmme_tpu.diffusion.fast import CachedDDIM
 from dmme_tpu.diffusion.dpm_solver import DPMSolverPP
 from dmme_tpu.diffusion.cfg import classifier_free
 from dmme_tpu.diffusion.edm import EDM
+from dmme_tpu.diffusion.flow import FlowMatching
 from dmme_tpu.diffusion.distill import ProgressiveDistillation
 from dmme_tpu.diffusion.factory import make_sampler
 from dmme_tpu.diffusion.deep_cache import DeepCachedDDIM, DeepCachedDPM
@@ -34,6 +35,7 @@ __all__ = [
     "DPMSolverPP",
     "classifier_free",
     "EDM",
+    "FlowMatching",
     "ProgressiveDistillation",
     "make_sampler",
     "DeepCachedDDIM",

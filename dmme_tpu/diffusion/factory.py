@@ -17,11 +17,13 @@ import dmme_tpu.equations as eq
 from dmme_tpu.diffusion.ddim import DDIM
 from dmme_tpu.diffusion.dpm_solver import DPMSolverPP
 from dmme_tpu.diffusion.edm import EDM
+from dmme_tpu.diffusion.flow import FlowMatching
 from dmme_tpu.diffusion.iddpm import IDDPM
 from dmme_tpu.diffusion.unipc import UniPC
 
-# unipc defaults to 10 NFE — the very-low-NFE regime its corrector targets
-STEP_DEFAULTS = {"ddim": 50, "dpm": 20, "edm": 18, "unipc": 10}
+# unipc defaults to 10 NFE — the very-low-NFE regime its corrector targets;
+# flow's 25 midpoint steps = 50 NFE (halve steps or set order=1 for fewer)
+STEP_DEFAULTS = {"ddim": 50, "dpm": 20, "edm": 18, "unipc": 10, "flow": 25}
 # drive the UNet module (feature-capture API), not a model_fn
 MODULE_SAMPLERS = ("cached", "deep", "deep_dpm")
 
@@ -97,11 +99,32 @@ def make_sampler(
     network is σ-conditioned, not t-conditioned.
     """
     if name not in STEP_DEFAULTS:
-        raise ValueError(f"unknown sampler {name!r} (ddim|dpm|edm|unipc)")
+        raise ValueError(f"unknown sampler {name!r} (ddim|dpm|edm|unipc|flow)")
     steps = int(steps or STEP_DEFAULTS[name])
 
     def identity(fn):
         return fn
+
+    if name == "flow":
+        if not isinstance(base, FlowMatching):
+            raise ValueError(
+                "sampler=flow needs a flow-matching-trained model (velocity "
+                "network); discrete-t models can use ddim or dpm"
+            )
+        # rebuild the grid at the new step count with the TRAINED
+        # hyperparameters (shift, order, time_scale)
+        return (
+            FlowMatching.create(
+                steps=steps,
+                order=base.order,
+                shift=base.shift,
+                t_sample=base.t_sample,
+                logit_mean=base.logit_mean,
+                logit_std=base.logit_std,
+                time_scale=base.time_scale,
+            ),
+            identity,
+        )
 
     if name == "edm":
         if not isinstance(base, EDM):
@@ -136,7 +159,7 @@ def make_sampler(
         raise ValueError(
             f"sampler={name!r} needs a discrete-schedule model; "
             f"{type(base).__name__} has none (EDM models sample with "
-            "sampler=edm)"
+            "sampler=edm, flow-matching models with sampler=flow)"
         )
     timesteps = int(getattr(base, "timesteps"))
     par = getattr(base, "parameterization", "eps")

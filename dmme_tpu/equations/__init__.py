@@ -8,7 +8,8 @@ under ``jit``/``scan``/``grad`` with no hidden state.
 from dmme_tpu.equations import ddpm
 from dmme_tpu.equations import ddim
 from dmme_tpu.equations import edm
+from dmme_tpu.equations import flow
 from dmme_tpu.equations import iddpm
 from dmme_tpu.equations.gaussian import Gaussian, kl_divergence
 
-__all__ = ["ddpm", "ddim", "edm", "iddpm", "Gaussian", "kl_divergence"]
+__all__ = ["ddpm", "ddim", "edm", "flow", "iddpm", "Gaussian", "kl_divergence"]

@@ -1,7 +1,7 @@
 """Training harness: Lit modules, state, optimizer, EMA, loops, checkpointing."""
 
 from dmme_tpu.training.lit import (LitDDPM, LitDDIM, LitDistill, LitEDM,
-                                    LitIDDPM, LitUpsampler)
+                                    LitFlow, LitIDDPM, LitUpsampler)
 from dmme_tpu.training.classifier import LitClassifier
 from dmme_tpu.training.state import TrainState
 from dmme_tpu.training.ema import ema_update
@@ -15,6 +15,7 @@ __all__ = [
     "LitDDIM",
     "LitIDDPM",
     "LitEDM",
+    "LitFlow",
     "LitDistill",
     "LitClassifier",
     "LitUpsampler",

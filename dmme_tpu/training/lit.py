@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from dmme_tpu import models as model_lib
-from dmme_tpu.diffusion import DDIM, DDPM, EDM, IDDPM
+from dmme_tpu.diffusion import DDIM, DDPM, EDM, IDDPM, FlowMatching
 from dmme_tpu.training.lr_schedule import warmup_schedule
 from dmme_tpu.training.state import TrainState
 
@@ -305,6 +305,52 @@ class LitEDM(LitDDPM):
         """One Heun step at σ-grid index ``i`` (EDM has no integer-t ancestral
         step; the grid index plays the reference's ``t`` role here)."""
         return self.diffusion_model.sampling_step(self.model_fn, params, x_t, i, rng)
+
+
+class LitFlow(LitDDPM):
+    """Flow-matching / rectified-flow harness (no reference counterpart —
+    capability beyond the reference): straight-path velocity regression
+    (dmme_tpu.diffusion.FlowMatching) on the same UNet, sampled by
+    integrating the learned ODE with the Euler or midpoint solver.
+
+    The network is conditioned on ``t · time_scale`` through the same
+    sinusoidal time embedding (t ∈ [0,1] alone would collapse the
+    embedding's low frequencies); classifier-free guidance and the
+    conditional-model machinery are inherited unchanged — the CFG wrapper
+    composes over velocities exactly as it does over ε predictions."""
+
+    def __init__(
+        self,
+        lr: float = 2e-4,
+        warmup: int = 5000,
+        decay: float = 0.9999,
+        diffusion_model: Optional["FlowMatching"] = None,
+        model: Any = None,
+        sample_steps: int = 25,
+        order: int = 2,
+        shift: float = 1.0,
+        t_sample: str = "logit_normal",
+        logit_mean: float = 0.0,
+        logit_std: float = 1.0,
+        **kwargs,
+    ):
+        if diffusion_model is None:
+            diffusion_model = FlowMatching.create(
+                steps=sample_steps,
+                order=order,
+                shift=shift,
+                t_sample=t_sample,
+                logit_mean=logit_mean,
+                logit_std=logit_std,
+            )
+        super().__init__(lr, warmup, decay, diffusion_model, model, **kwargs)
+
+    def __call__(self, params, x_t, i, rng=None):
+        """One ODE step at t-grid index ``i`` (deterministic; ``rng``
+        accepted for signature parity with the ancestral samplers)."""
+        return self.diffusion_model.sampling_step(
+            self.model_fn, params, x_t, i, rng
+        )
 
 
 class LitDistill(LitDDPM):
