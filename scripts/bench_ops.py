@@ -3,6 +3,9 @@
 Usage: python scripts/bench_ops.py
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import time
 
 import jax

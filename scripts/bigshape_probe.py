@@ -14,6 +14,9 @@ Run ONE at a time over the axon tunnel:
     python scripts/bigshape_probe.py lsun256 [--ablate]
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import argparse
 import json
 import os
@@ -151,13 +154,32 @@ def lsun256(ablate: bool):
                 label="ddpm/lsun256 b16+fused_norm")
 
 
+def admu256(ablate: bool):
+    """First on-chip exercise of the ADMU guided-diffusion upsampler preset
+    (VERDICT r3 weak #6): one real 64→256 train step at its published shape
+    — proves the preset compiles and fits HBM, and records its step time."""
+    from dmme_tpu.models.adm import ADMU
+    from dmme_tpu.training import LitUpsampler
+
+    lit = LitUpsampler(
+        factor=4,
+        model=ADMU(256, dtype=jnp.bfloat16, out_channels=3,
+                   learn_sigma=False, dropout=0.0),
+        timesteps=1000, lr=1e-4, warmup=5000,
+    )
+    measure(lit, 256, 2, chunk=1, label="admu/64to256 b2 (upsampler preset)")
+    del ablate
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["imagenet64", "lsun256"])
+    ap.add_argument("which", choices=["imagenet64", "lsun256", "admu256"])
     ap.add_argument("--ablate", action="store_true")
     args = ap.parse_args()
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
-    {"imagenet64": imagenet64, "lsun256": lsun256}[args.which](args.ablate)
+    {"imagenet64": imagenet64, "lsun256": lsun256, "admu256": admu256}[
+        args.which
+    ](args.ablate)
 
 
 if __name__ == "__main__":

@@ -7,6 +7,9 @@ logging), first execution. Run ONE at a time (single-tunnel axon).
 Usage:  python scripts/cache_probe.py [--chunk 10]
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import argparse
 import logging
 import os

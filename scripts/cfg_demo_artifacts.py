@@ -11,6 +11,9 @@ requested side.
 Usage:  python scripts/cfg_demo_artifacts.py --config configs/ddpm/shapes_cfg_demo.yaml
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import argparse
 import json
 import os

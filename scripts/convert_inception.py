@@ -15,6 +15,9 @@ conversion, so the .npz is inference-ready. Point evaluation at it:
     dmme_tpu.trainer test --config cfg.yaml --trainer.inception_weights inception_fid.npz
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import argparse
 import os
 import sys

@@ -20,7 +20,10 @@ the reference stores them in the optimizer state of the main .ckpt
 use the sidecar, else EMA is initialized to the converted raw weights.
 """
 
+
 from __future__ import annotations
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
 
 import argparse
 import sys

@@ -21,6 +21,9 @@ Usage (one TPU process at a time):
         [--sampler dpm --steps 20] [--n 16] [--out docs/assets/shapes_demo]
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import argparse
 import json
 import os

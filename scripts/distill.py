@@ -16,7 +16,10 @@ parameterization (paper §4); the initial teacher may be ε-parameterized
 Each round's student checkpoint lands in ``<out>/round_<k>_steps_<N>/``.
 """
 
+
 from __future__ import annotations
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
 
 import argparse
 import sys

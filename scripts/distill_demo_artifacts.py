@@ -12,6 +12,9 @@ Usage:
         --config configs/ddpm/shapes_demo.yaml --distill-out runs/distill_shapes
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import argparse
 import glob
 import json

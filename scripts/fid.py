@@ -17,7 +17,10 @@ the network is randomly initialized and values are only self-consistent
 (the same machinery-test caveat as dmme_tpu.trainer test).
 """
 
+
 from __future__ import annotations
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
 
 import argparse
 import os

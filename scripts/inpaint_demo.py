@@ -8,6 +8,9 @@ conditioning works on a real trained checkpoint, not just the unit tests.
         [--n 4] [--resample 1] [--out docs/assets/shapes_inpaint.png]
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import argparse
 import os
 import sys

@@ -4,6 +4,9 @@
 Usage: python scripts/lit_main.py [--steps N] [--synthetic]
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import argparse
 
 import jax.numpy as jnp

@@ -8,6 +8,9 @@ expressed as this framework's chunked, donated train step.
 Usage: python scripts/main.py [--steps N] [--synthetic] [--data-dir DIR]
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import argparse
 import sys
 import time

@@ -14,6 +14,9 @@ Usage: python scripts/measure_reference_cpu.py [batch] [iters]
 Writes one JSON line. CPU-only (never touches the TPU tunnel).
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import importlib.util
 import json
 import os

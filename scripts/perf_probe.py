@@ -9,6 +9,9 @@ Measures the SAME chunked train program the fit loop uses (round-1 lesson:
 kernels/toggles must be judged in the end-to-end chunk, not in isolation).
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import json
 import sys
 import time

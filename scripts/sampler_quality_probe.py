@@ -33,6 +33,10 @@ def main():
     )
     args = ap.parse_args()
 
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )  # repo root, so the script works without PYTHONPATH
+
     import numpy as np
     import jax
 

@@ -7,6 +7,9 @@ bilinear baseline against the originals — the honest comparison.
     python scripts/upsample_demo.py --config configs/ddpm/shapes_sr_demo.yaml
 """
 
+if not __package__:  # launched by path: put the repo root on sys.path
+    import _bootstrap  # noqa: F401
+
 import argparse
 import json
 import os

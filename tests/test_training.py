@@ -476,6 +476,27 @@ class TestSpatialParallel:
             None, ("data", "fsdp"), "spatial"
         )
 
+    def test_batch_sharding_shape_gate(self, devices):
+        """ADVICE r3: with an explicit shape, only genuine image leaves
+        (trailing (H, W, C) with small C, H divisible) H-shard; a
+        channels-heavy rank-4 leaf stays batch-only."""
+        from dmme_tpu.parallel.mesh import batch_sharding
+
+        mesh = make_mesh(devices, data=2, spatial=4)
+        P = jax.sharding.PartitionSpec
+        img = batch_sharding(mesh, shape=(8, 32, 32, 3))
+        assert img.spec == P(("data", "fsdp"), "spatial")
+        # rank 4 but not an image: C=64 (feature-stack leaf)
+        feats = batch_sharding(mesh, shape=(8, 4, 4, 64))
+        assert feats.spec == P(("data", "fsdp"))
+        # H not divisible by spatial=4
+        ragged = batch_sharding(mesh, shape=(8, 30, 30, 3))
+        assert ragged.spec == P(("data", "fsdp"))
+        labels = batch_sharding(mesh, shape=(8,))
+        assert labels.spec == P(("data", "fsdp"))
+        chunked = batch_sharding(mesh, chunked=True, shape=(10, 8, 32, 32, 3))
+        assert chunked.spec == P(None, ("data", "fsdp"), "spatial")
+
     def test_spatial_axis_never_lands_on_params(self, devices):
         mesh = make_mesh(devices, data=2, fsdp=2, spatial=2)
         spec = fsdp_param_spec((3, 3, 256, 256), mesh)
