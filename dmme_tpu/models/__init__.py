@@ -11,7 +11,9 @@ import jax.numpy as jnp
 from dmme_tpu.models import ddpm
 from dmme_tpu.models import iddpm
 from dmme_tpu.models import adm
+from dmme_tpu.models import dit
 from dmme_tpu.models.unet import UNet, build_topology
+from dmme_tpu.models.dit import DiT
 from dmme_tpu.models import blocks
 
 
@@ -44,6 +46,6 @@ def eps_only(model_fn):
 
 
 __all__ = [
-    "ddpm", "iddpm", "UNet", "build_topology", "blocks", "as_model_fn",
-    "eps_only",
+    "ddpm", "iddpm", "dit", "UNet", "DiT", "build_topology", "blocks",
+    "as_model_fn", "eps_only",
 ]
