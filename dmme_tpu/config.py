@@ -141,7 +141,7 @@ TRAINER_KEYS = frozenset({
     "img_size", "sample_batch", "predict_batch", "host", "port",
 })
 
-MESH_KEYS = frozenset({"data", "fsdp", "tensor", "spatial"})
+MESH_KEYS = frozenset({"data", "fsdp", "tensor", "spatial", "expert"})
 
 
 class ConfigError(ValueError):

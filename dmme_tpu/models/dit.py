@@ -89,6 +89,11 @@ class DiTBlock(nn.Module):
     #: static dropout switch (attribute, not call arg, so ``nn.remat``
     #: needs no static_argnums)
     deterministic: bool = True
+    #: >0 → the MLP branch becomes a mixture-of-experts FFN (models/moe.py)
+    #: with this many experts, shardable over the ``expert`` mesh axis
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -120,20 +125,36 @@ class DiTBlock(nn.Module):
         )(attn.reshape(n, t, d))
         x = x + g1 * attn
 
-        # ---- MLP branch
+        # ---- MLP branch (dense or mixture-of-experts)
         h = _modulate(_norm(self.dtype)(x), sh2, sc2)
-        h = nn.Dense(
-            int(d * self.mlp_ratio),
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="mlp_in",
-        )(h)
-        h = nn.gelu(h, approximate=True)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
-        h = nn.Dense(
-            d, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp_out"
-        )(h)
+        if self.num_experts > 0:
+            from dmme_tpu.models.moe import MoEMlp
+
+            h = MoEMlp(
+                num_experts=self.num_experts,
+                mlp_dim=int(d * self.mlp_ratio),
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="moe_mlp",
+            )(h)
+        else:
+            h = nn.Dense(
+                int(d * self.mlp_ratio),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="mlp_in",
+            )(h)
+            h = nn.gelu(h, approximate=True)
+            if self.dropout > 0.0:
+                h = nn.Dropout(
+                    self.dropout, deterministic=self.deterministic
+                )(h)
+            h = nn.Dense(
+                d, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="mlp_out",
+            )(h)
         return x + g2 * h
 
 
@@ -158,6 +179,12 @@ class DiT(nn.Module):
     num_classes: Optional[int] = None
     pos_dim: int = 256
     dropout: float = 0.0
+    #: >0 → sparse MoE FFNs (models/moe.py) in every ``moe_stride``-th
+    #: block (the others keep dense MLPs, the usual interleaving)
+    num_experts: int = 0
+    moe_stride: int = 2
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     #: rematerialize each block (trade FLOPs for HBM at depth)
@@ -212,12 +239,21 @@ class DiT(nn.Module):
 
         block_cls = nn.remat(DiTBlock) if self.remat else DiTBlock
         for i in range(self.depth):
+            # MoE (if enabled) in every moe_stride-th block, starting from
+            # the second — first block stays dense (routing on raw patch
+            # embeddings is noise)
+            moe_here = (
+                self.num_experts > 0 and i % self.moe_stride == 1 % self.moe_stride
+            )
             h = block_cls(
                 hidden=self.hidden,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout,
                 deterministic=not train,
+                num_experts=self.num_experts if moe_here else 0,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"block_{i}",

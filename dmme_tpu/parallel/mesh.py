@@ -21,6 +21,11 @@ Mesh axes:
   For the 32px CIFAR model tensor parallelism is latency-bound overkill;
   it exists for the 512-channel 256px LSUN UNet, where per-layer weights
   and activations are 4× larger.
+* ``expert`` — expert parallelism for MoE-DiT models (models/moe.py):
+  rank-3 ``(E, d_in, d_out)`` expert-weight stacks shard their expert
+  axis, the batch is additionally sharded over this axis (GShard token
+  layout), and the dispatch/combine einsums induce the token
+  all-to-alls.
 
 Multi-host: call :func:`jax.distributed.initialize` first; these helpers use
 the global device list, so DCN crossing stays on the outermost (``data``)
@@ -42,9 +47,10 @@ def make_mesh(
     fsdp: int = 1,
     tensor: int = 1,
     spatial: int = 1,
+    expert: int = 1,
 ) -> Mesh:
-    """Build a ``(data, fsdp, tensor, spatial)`` mesh. ``data=-1`` absorbs
-    the rest.
+    """Build a ``(data, fsdp, expert, tensor, spatial)`` mesh. ``data=-1``
+    absorbs the rest.
 
     Axis order = collective frequency (innermost rides the fastest ICI
     links): spatial parallelism exchanges conv halos at every layer,
@@ -62,13 +68,15 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (fsdp * tensor * spatial) == 0, (n, fsdp, tensor, spatial)
-        data = n // (fsdp * tensor * spatial)
-    assert data * fsdp * tensor * spatial == n, (
-        f"mesh {data}x{fsdp}x{tensor}x{spatial} != {n} devices"
+        assert n % (fsdp * expert * tensor * spatial) == 0, (
+            n, fsdp, expert, tensor, spatial,
+        )
+        data = n // (fsdp * expert * tensor * spatial)
+    assert data * fsdp * expert * tensor * spatial == n, (
+        f"mesh {data}x{fsdp}x{expert}x{tensor}x{spatial} != {n} devices"
     )
-    arr = np.asarray(devices).reshape(data, fsdp, tensor, spatial)
-    return Mesh(arr, ("data", "fsdp", "tensor", "spatial"))
+    arr = np.asarray(devices).reshape(data, fsdp, expert, tensor, spatial)
+    return Mesh(arr, ("data", "fsdp", "expert", "tensor", "spatial"))
 
 
 def batch_sharding(
@@ -90,7 +98,12 @@ def batch_sharding(
     high-rank leaf stays batch-only. ``ndim`` alone (legacy) falls back to
     the rank heuristic and should be avoided for new call sites."""
     lead = (None,) if chunked else ()
-    spec = lead + (("data", "fsdp"),)
+    batch_axes = ("data", "fsdp")
+    if mesh.shape.get("expert", 1) > 1:
+        # tokens are data-sharded over expert groups too (GShard layout);
+        # the MoE dispatch/combine einsums then induce the all-to-alls
+        batch_axes = ("data", "fsdp", "expert")
+    spec = lead + (batch_axes,)
     spatial = mesh.shape.get("spatial", 1)
     if spatial > 1:
         if shape is not None:
@@ -124,9 +137,16 @@ def fsdp_param_spec(shape: Sequence[int], mesh: Mesh, min_weight_size: int = 2**
     """
     tensor_size = mesh.shape.get("tensor", 1)
     fsdp_size = mesh.shape.get("fsdp", 1)
+    expert_size = mesh.shape.get("expert", 1)
     spec = [None] * len(shape)
     if int(np.prod(shape)) < min_weight_size:
         return P()
+    ep_axis = None
+    if expert_size > 1 and len(shape) == 3 and shape[0] % expert_size == 0:
+        # expert weight leaves are exactly the rank-3 (E, d_in, d_out)
+        # stacks of models/moe.py — shard the expert axis
+        ep_axis = 0
+        spec[0] = "expert"
     tp_axis = None
     if tensor_size > 1 and len(shape) >= 2 and shape[-1] % tensor_size == 0:
         tp_axis = len(shape) - 1
@@ -135,7 +155,7 @@ def fsdp_param_spec(shape: Sequence[int], mesh: Mesh, min_weight_size: int = 2**
         # prefer the last (lane) axis, then the largest
         order = sorted(range(len(shape)), key=lambda i: (shape[i], i), reverse=True)
         for i in order:
-            if i != tp_axis and shape[i] % fsdp_size == 0:
+            if i not in (tp_axis, ep_axis) and shape[i] % fsdp_size == 0:
                 spec[i] = "fsdp"
                 break
     if all(s is None for s in spec):

@@ -30,13 +30,47 @@ from typing import List
 def worker(pid: int, nproc: int, ndev: int, port: int, steps: int = 3) -> float:
     """Body of one process. MUST run in a fresh interpreter (it configures
     the jax platform before first use)."""
+    import time
+
+    t0 = time.monotonic()
+
+    def _log(msg: str) -> None:
+        # stderr, flushed: a hung worker's pipe tail tells WHERE it hung
+        print(f"[mp_check p{pid} {time.monotonic() - t0:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: worker programs are identical across runs
+    # (and across the dryrun's repeated invocations), so every run after
+    # the first starts in seconds instead of a full XLA compile
+    from dmme_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if nproc > 1:
+        _log("distributed.initialize ...")
         jax.distributed.initialize(
             f"localhost:{port}", num_processes=nproc, process_id=pid
         )
+        _log("distributed.initialize done")
+        # Establish the cross-process Gloo context NOW, while the processes
+        # are aligned to milliseconds by the coordination-service barrier
+        # (pure RPC, minutes-long timeout). Gloo's key-value handshake has a
+        # hardcoded ~30 s deadline; on a loaded 1-CPU box the skew between
+        # two processes compiling fit()'s train step exceeds it, so the
+        # first collective must happen here — tiny psum, sub-second compile
+        # — not inside the training loop.
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(
+            "mp_check_gloo_warmup", timeout_in_ms=240_000
+        )
+        _log("rpc warmup barrier passed; gloo sync ...")
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mp_check_gloo_context")
+        _log("gloo sync done")
 
     import numpy as np
     import jax.numpy as jnp
@@ -56,14 +90,32 @@ def worker(pid: int, nproc: int, ndev: int, port: int, steps: int = 3) -> float:
     dm = CIFAR10(
         synthetic=True, synthetic_size=64, batch_size=16, horizontal_flip=False
     )
+    _log("fit ...")
     state = fit(lit, dm, max_steps=steps, seed=0, mesh=make_mesh(), log_every=100)
+    _log("fit done")
+
+    if nproc > 1:
+        # the params fetch below all-gathers cross-process shards through a
+        # NEW Gloo context; align the processes first (same reasoning as the
+        # warmup barrier above — Gloo's handshake deadline is ~30 s and
+        # compile-time skew on a loaded box exceeds it, while this RPC
+        # barrier tolerates minutes)
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(
+            "mp_check_pre_probe", timeout_in_ms=240_000
+        )
+        _log("pre-probe barrier passed")
 
     # probe: fixed-rng loss on the fetched (host) params — a pure function of
     # the trained parameter values, comparable across process layouts
     dm.setup("fit")
     batch = (np.asarray(dm.train_data[:16], np.float32) / 255.0) * 2 - 1
+    _log("fetching params ...")
     params = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), state.params)
+    _log("params fetched; probe loss ...")
     loss = lit.make_loss_fn(None)(params, jax.random.PRNGKey(7), jnp.asarray(batch))
+    _log("probe done")
     return float(jax.device_get(loss))
 
 
@@ -79,8 +131,14 @@ def spawn(nproc: int, ndev_per_proc: int, steps: int = 3, timeout: int = 600) ->
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep workers off any TPU tunnel
     env["JAX_PLATFORMS"] = "cpu"
+    # collective timeout: XLA:CPU's Gloo collectives default to ~30 s; two
+    # workers sharing one CPU can skew past that during the train-step
+    # compile (the faster worker's async-dispatched psum then dies SILENTLY
+    # — the error surfaces only at the next blocking fetch, while the peer
+    # sleeps forever on the dead socket). Raise it well past any compile.
     env["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={ndev_per_proc}"
+        f"--xla_force_host_platform_device_count={ndev_per_proc} "
+        f"--xla_cpu_collective_timeout_seconds={max(300, timeout)}"
     )
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
@@ -133,6 +191,15 @@ def main(argv) -> None:
     steps = int(argv[4]) if len(argv) > 4 else 3
     loss = worker(pid, nproc, ndev, port, steps)
     print(f"PROBE {loss:.10f}", flush=True)
+    if nproc > 1:
+        # coordinated disconnect: process 0 hosts the coordination service,
+        # so a hard exit here while a peer is still computing its probe
+        # kills the service under it and the peer FATALs on "Socket
+        # closed". shutdown() waits at the service's shutdown barrier until
+        # every task has called it.
+        import jax
+
+        jax.distributed.shutdown()
     # jax.distributed + axon leave non-daemon threads; exit hard so the
     # parent's communicate() returns promptly
     os._exit(0)

@@ -48,6 +48,7 @@ def _make_mesh(mesh_cfg: Optional[Dict[str, int]]):
         fsdp=mesh_cfg.get("fsdp", 1),
         tensor=mesh_cfg.get("tensor", 1),
         spatial=mesh_cfg.get("spatial", 1),
+        expert=mesh_cfg.get("expert", 1),
     )
 
 

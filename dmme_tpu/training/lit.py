@@ -48,6 +48,7 @@ class LitDDPM:
         parameterization: str = "eps",
         snr_gamma: Optional[float] = None,
         guidance_scale: float = 1.0,
+        moe_aux_weight: float = 0.0,
     ) -> None:
         self.lr = lr
         self.warmup = warmup
@@ -66,6 +67,11 @@ class LitDDPM:
         #: sampling-time classifier-free guidance weight (1.0 = plain
         #: conditional; only used when num_classes is set)
         self.guidance_scale = guidance_scale
+        #: >0 → add the MoE router losses (load-balance aux + z-loss,
+        #: models/moe.py ``sow``-ed into the "losses" collection) to the
+        #: diffusion loss at this weight. Required for MoE-DiT models —
+        #: without it the router collapses onto one expert.
+        self.moe_aux_weight = moe_aux_weight
 
         if model is None:
             model = model_lib.ddpm.UNet(
@@ -118,6 +124,11 @@ class LitDDPM:
                 params = self.model.init(rng_, x, t, y=jnp.zeros((1,), jnp.int32))
             else:
                 params = self.model.init(rng_, x, t)
+            # init makes every collection mutable, so MoE models also
+            # return their sown "losses" scalars — keep only real weights
+            # (the train state must hold parameters, nothing else)
+            if "losses" in params:
+                params = {k: v for k, v in params.items() if k != "losses"}
             return TrainState.create(
                 params,
                 tx,
@@ -146,20 +157,49 @@ class LitDDPM:
             if datamodule is not None:
                 aug_rng, rng = jax.random.split(rng)
                 x = datamodule.train_transform(aug_rng, x)
-            model_fn = self.model_fn
+            # aux_box collects MoE router losses sown during model calls in
+            # THIS trace (models/moe.py); appending tracers to a python list
+            # and consuming them in the same jaxpr is sound
+            aux_box: list = []
+            base_fn = (
+                self._aux_model_fn(aux_box)
+                if self.moe_aux_weight > 0
+                else self.model_fn
+            )
+            model_fn = base_fn
             if y is not None and self.num_classes is not None:
                 drop_rng, rng = jax.random.split(rng)
                 drop = jax.random.bernoulli(drop_rng, self.cond_dropout, y.shape)
                 y_used = jnp.where(drop, jnp.int32(self.num_classes), y.astype(jnp.int32))
 
                 def model_fn(params, xt, t, *, train=False, rngs=None):
-                    return self.model_fn(
+                    return base_fn(
                         params, xt, t, y=y_used, train=train, rngs=rngs
                     )
 
-            return self.diffusion_model.loss(model_fn, params, rng, x, train=True)
+            loss = self.diffusion_model.loss(model_fn, params, rng, x, train=True)
+            if aux_box:
+                loss = loss + self.moe_aux_weight * sum(aux_box)
+            return loss
 
         return loss_fn
+
+    def _aux_model_fn(self, aux_box: list):
+        """A model_fn that also collects the "losses" collection (MoE
+        router aux + z losses, models/moe.py) into ``aux_box``."""
+
+        def model_fn(params, x, t, *, y=None, train=False, rngs=None):
+            kwargs = {} if y is None else {"y": y}
+            out, vs = self.model.apply(
+                params, x, t, train=train, rngs=rngs,
+                mutable=["losses"], **kwargs,
+            )
+            leaves = jax.tree.leaves(vs.get("losses", {}))
+            if leaves:
+                aux_box.append(sum(leaves))
+            return out
+
+        return model_fn
 
     def eval_loss(self, params, rng, x, y=None):
         """Eval-mode diffusion loss on a processed batch (the validate
