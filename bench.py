@@ -31,6 +31,27 @@ SAMPLE_REPEATS = 2
 PEAK_TFLOPS_BF16 = 197.0
 TRAIN_STEP_TFLOP = 3.53
 
+
+def dit_train_tflop(batch, img=32, patch=4, d=384, depth=12, out_ch=3,
+                    in_ch=3, mlp_ratio=4.0):
+    """Analytic matmul FLOPs for one DiT train step (fwd + bwd = 3x fwd).
+
+    Transformer FLOPs are exact from shapes (unlike the UNet's traced
+    count): per block & token 2*(qkv 3d^2 + proj d^2 + mlp 2*r*d^2) plus
+    attention 4*T*d, plus the per-sample adaLN modulation and the
+    patch/unpatch projections.
+    """
+    tokens = (img // patch) ** 2
+    per_block_token = 2 * (4 + 2 * mlp_ratio) * d * d + 4 * tokens * d
+    per_block_sample = 2 * 6 * d * d  # adaLN modulation MLP
+    fwd_sample = (
+        depth * (tokens * per_block_token + per_block_sample)
+        + 2 * tokens * (patch * patch * in_ch) * d      # patch embed
+        + 2 * tokens * d * (patch * patch * out_ch)     # final proj
+        + 2 * 2 * d * d                                 # final adaLN
+    )
+    return 3 * batch * fwd_sample / 1e12
+
 PROBE_SNIPPET = (
     "import jax, os, sys; d = jax.devices(); "
     "print(d[0], flush=True); os._exit(0)"
@@ -196,6 +217,29 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     # model FLOP utilization vs v5e bf16 peak (meaningful on TPU only)
     mfu = TRAIN_STEP_TFLOP / step_s / PEAK_TFLOPS_BF16
 
+    # ---- DiT-S/4 (flow matching, configs/flow/cifar10_dit.yaml recipe) at
+    # the same CIFAR-10 shape — the transformer-backbone leg; FLOPs are
+    # analytic, so its MFU needs no traced count ----
+    from dmme_tpu.models.dit import DiT_S
+    from dmme_tpu.training import LitFlow
+
+    dit_lit = LitFlow(model=DiT_S(dtype=jnp.bfloat16), lr=1e-4)
+    dit_state = dit_lit.init_state(rng, img_size=32)
+    float(jnp.sum(dit_state.step))
+    dit_chunk = make_train_chunk(dit_lit.make_loss_fn(dm), CHUNK)
+    dit_state, dmetrics = dit_chunk(dit_state, stacked, rng)  # compile+warm
+    float(jax.device_get(dmetrics["loss"])[-1])
+    t0 = time.perf_counter()
+    for _ in range(CHUNKS_TIMED):
+        dit_state, dmetrics = dit_chunk(dit_state, stacked, rng)
+    dit_last_loss = float(jax.device_get(dmetrics["loss"])[-1])
+    ddt = time.perf_counter() - t0
+    dit_ips = BATCH * CHUNK * CHUNKS_TIMED / ddt
+    dit_step_s = ddt / (CHUNK * CHUNKS_TIMED)
+    dit_tflop = dit_train_tflop(BATCH)
+    dit_mfu = dit_tflop / dit_step_s / PEAK_TFLOPS_BF16
+    assert np.isfinite(dit_last_loss), dit_last_loss
+
     # ---- DDIM 50-step sampler (quadratic tau over T=1000, eta=0) ----
     algo = DDIM.create(timesteps=1000, sub_timesteps=50)
     model_fn = as_model_fn(lit.model)
@@ -305,6 +349,10 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
                 "unipc10_imgs_per_sec_chip": round(unipc_ips, 2),
                 "ddim50_encoder_cached_imgs_per_sec_chip": round(fast_ips, 2),
                 "dpm20_deep_cached_imgs_per_sec_chip": round(deep_dpm_ips, 2),
+                "dit_train_imgs_per_sec_chip": round(dit_ips, 2),
+                "dit_train_step_ms": round(1000 * dit_step_s, 2),
+                "dit_mfu": round(dit_mfu, 3),
+                "dit_tflop_per_step_analytic": round(dit_tflop, 3),
                 "train_step_ms": round(1000 * step_s, 2),
                 "mfu": round(mfu, 3),
                 "mfu_derivation": f"{TRAIN_STEP_TFLOP} TFLOP/step "

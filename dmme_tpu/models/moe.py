@@ -17,10 +17,12 @@ fsdp_param_spec, and the SPMD partitioner inserts the token all-to-alls
 from the dispatch/combine contractions).
 
 Losses: the Switch load-balance auxiliary (E · Σ_e f_e · P_e, = 1 when
-perfectly balanced) and the router z-loss (St-Moe, Zoph et al. 2022) are
-``sow``-ed into the ``"losses"`` collection; the training harnesses add
-them to the diffusion loss when ``moe_aux_weight > 0``
-(training/lit.py) — apply with ``mutable=["losses"]`` to read them.
+perfectly balanced) and the RAW router z-loss (St-MoE, Zoph et al. 2022)
+are ``sow``-ed into the ``"losses"`` collection; the training harnesses
+(every LitDDPM-family ``make_loss_fn``, via the shared
+``LitDDPM.loss_model_fn``/``add_moe_aux`` helpers) add them to the
+diffusion loss as ``moe_aux_weight·aux + moe_z_weight·z`` when
+``moe_aux_weight > 0`` — apply with ``mutable=["losses"]`` to read them.
 """
 
 from __future__ import annotations
@@ -124,8 +126,16 @@ class MoEMlp(nn.Module):
         f_e = jnp.mean(masks[0], axis=0)
         p_e = jnp.mean(probs, axis=0)
         self.sow("losses", "moe_aux", e * jnp.sum(f_e * p_e))
-        # router z-loss: keeps logits small / softmax well-conditioned
+        # routing-health diagnostics (separate collection so the training
+        # loss never sums them): per-expert routed fraction, round 1 —
+        # read with mutable=["moe_stats"]; scripts/moe_routing_probe.py
+        # and tests/test_moe.py watch these for expert collapse
+        self.sow("moe_stats", "f_e", f_e)
+        # router z-loss: keeps logits small / softmax well-conditioned.
+        # Sown RAW — the harness applies the single documented weight
+        # (LitDDPM.moe_z_weight, default 1e-3 per St-MoE); pre-scaling here
+        # double-counted against moe_aux_weight (ADVICE r4)
         z = jax.scipy.special.logsumexp(logits, axis=-1)
-        self.sow("losses", "moe_z", 1e-3 * jnp.mean(jnp.square(z)))
+        self.sow("losses", "moe_z", jnp.mean(jnp.square(z)))
 
         return y.reshape(n, t, d)

@@ -124,9 +124,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def fsdp_param_spec(shape: Sequence[int], mesh: Mesh, min_weight_size: int = 2**14) -> P:
+def fsdp_param_spec(
+    shape: Sequence[int],
+    mesh: Mesh,
+    min_weight_size: int = 2**14,
+    path: str = "",
+) -> P:
     """Partition spec for one parameter.
 
+    * ``expert`` axis (if >1): rank-3 leaves whose ``path`` names a MoE
+      module (models/moe.py lives under ``moe_mlp``/``MoEMlp`` names)
+      shard axis 0 — the (E, d_in, d_out) expert stack. The path gate is
+      deliberate: rank/shape alone would silently mis-shard any future
+      rank-3 non-expert weight (1D-conv kernel, per-head projection) on
+      the expert axis (ADVICE r4). ``params_sharding``/``state_sharding``
+      supply paths automatically; direct callers without a path never get
+      expert sharding.
     * ``tensor`` axis (if >1): shard the OUTPUT-channel axis — the last axis
       of conv kernels (HWIO) and dense matrices — Megatron-style column
       parallelism; the SPMD partitioner propagates the channel sharding
@@ -142,9 +155,12 @@ def fsdp_param_spec(shape: Sequence[int], mesh: Mesh, min_weight_size: int = 2**
     if int(np.prod(shape)) < min_weight_size:
         return P()
     ep_axis = None
-    if expert_size > 1 and len(shape) == 3 and shape[0] % expert_size == 0:
-        # expert weight leaves are exactly the rank-3 (E, d_in, d_out)
-        # stacks of models/moe.py — shard the expert axis
+    if (
+        expert_size > 1
+        and len(shape) == 3
+        and shape[0] % expert_size == 0
+        and "moe" in path.lower()
+    ):
         ep_axis = 0
         spec[0] = "expert"
     tp_axis = None
@@ -164,9 +180,18 @@ def fsdp_param_spec(shape: Sequence[int], mesh: Mesh, min_weight_size: int = 2**
 
 
 def params_sharding(params: Any, mesh: Mesh, min_weight_size: int = 2**14) -> Any:
-    """A pytree of NamedShardings for a parameter tree (fsdp-aware)."""
-    return jax.tree.map(
-        lambda p: NamedSharding(mesh, fsdp_param_spec(p.shape, mesh, min_weight_size)),
+    """A pytree of NamedShardings for a parameter tree (fsdp-aware).
+
+    Maps WITH paths so module names reach the spec rule (the expert-axis
+    gate keys on ``moe`` in the path; optimizer moments mirror the params
+    dict, so their paths carry the same names)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, p: NamedSharding(
+            mesh,
+            fsdp_param_spec(
+                p.shape, mesh, min_weight_size, path=jax.tree_util.keystr(kp)
+            ),
+        ),
         params,
     )
 
@@ -175,8 +200,13 @@ def state_sharding(state: Any, mesh: Mesh, min_weight_size: int = 2**14) -> Any:
     """Shardings for a full TrainState: params/ema/opt_state leaves follow the
     fsdp layout (optimizer moments have parameter shapes); scalars replicate."""
 
-    def leaf_sharding(x) -> NamedSharding:
+    def leaf_sharding(kp, x) -> NamedSharding:
         shape = getattr(x, "shape", ())
-        return NamedSharding(mesh, fsdp_param_spec(shape, mesh, min_weight_size))
+        return NamedSharding(
+            mesh,
+            fsdp_param_spec(
+                shape, mesh, min_weight_size, path=jax.tree_util.keystr(kp)
+            ),
+        )
 
-    return jax.tree.map(leaf_sharding, state)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)

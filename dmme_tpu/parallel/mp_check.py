@@ -27,6 +27,25 @@ import sys
 from typing import List
 
 
+def _rpc_barrier(name: str, timeout_ms: int = 240_000) -> None:
+    """Coordination-service barrier (pure RPC, minutes-long timeout).
+
+    Uses the private ``jax._src.distributed`` client where available (JAX
+    0.9's only long-timeout barrier), falling back to the public
+    ``multihost_utils.sync_global_devices`` — which runs a Gloo collective
+    with its shorter hardcoded deadline, but keeps the check working if a
+    JAX upgrade moves the private API (ADVICE r4)."""
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+    except (ImportError, AttributeError):
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def worker(pid: int, nproc: int, ndev: int, port: int, steps: int = 3) -> float:
     """Body of one process. MUST run in a fresh interpreter (it configures
     the jax platform before first use)."""
@@ -61,11 +80,7 @@ def worker(pid: int, nproc: int, ndev: int, port: int, steps: int = 3) -> float:
         # two processes compiling fit()'s train step exceeds it, so the
         # first collective must happen here — tiny psum, sub-second compile
         # — not inside the training loop.
-        from jax._src import distributed
-
-        distributed.global_state.client.wait_at_barrier(
-            "mp_check_gloo_warmup", timeout_in_ms=240_000
-        )
+        _rpc_barrier("mp_check_gloo_warmup")
         _log("rpc warmup barrier passed; gloo sync ...")
         from jax.experimental import multihost_utils
 
@@ -80,15 +95,20 @@ def worker(pid: int, nproc: int, ndev: int, port: int, steps: int = 3) -> float:
     from dmme_tpu.parallel import make_mesh
     from dmme_tpu.training import LitDDPM, fit
 
+    # As small as the check allows: the invariant is about LAYOUT (grad
+    # all-reduce across process boundaries == single-process), so depth,
+    # attention, and width add nothing — they only grow the cold XLA:CPU
+    # compile that round 3/4 driver runs timed out on. 2-depth
+    # attention-free UNet, batch 8, 5 timesteps.
     lit = LitDDPM(
         model=ddpm_models.UNet(
             pos_dim=4, emb_dim=8, num_groups=2,
-            channels_per_depth=(4, 8, 8, 8), num_blocks=1,
+            channels_per_depth=(4, 8), num_blocks=1, attention_depths=(),
         ),
         timesteps=5,
     )
     dm = CIFAR10(
-        synthetic=True, synthetic_size=64, batch_size=16, horizontal_flip=False
+        synthetic=True, synthetic_size=32, batch_size=8, horizontal_flip=False
     )
     _log("fit ...")
     state = fit(lit, dm, max_steps=steps, seed=0, mesh=make_mesh(), log_every=100)
@@ -100,11 +120,7 @@ def worker(pid: int, nproc: int, ndev: int, port: int, steps: int = 3) -> float:
         # warmup barrier above — Gloo's handshake deadline is ~30 s and
         # compile-time skew on a loaded box exceeds it, while this RPC
         # barrier tolerates minutes)
-        from jax._src import distributed
-
-        distributed.global_state.client.wait_at_barrier(
-            "mp_check_pre_probe", timeout_in_ms=240_000
-        )
+        _rpc_barrier("mp_check_pre_probe")
         _log("pre-probe barrier passed")
 
     # probe: fixed-rng loss on the fetched (host) params — a pure function of
@@ -123,6 +139,20 @@ def free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
+
+
+class MpCheckTimeout(RuntimeError):
+    """Workers blew the parent-side deadline (vs a worker-side failure,
+    which raises plain RuntimeError with the worker's stderr).
+
+    ``tails`` carries each worker's last progress lines so the caller can
+    tell a slow compile (worker past ``fit ...``) from a genuine collective
+    deadlock (worker stuck at/before ``distributed.initialize``) — VERDICT
+    r4 item 3."""
+
+    def __init__(self, msg: str, tails: List[str]):
+        super().__init__(msg)
+        self.tails = tails
 
 
 def spawn(nproc: int, ndev_per_proc: int, steps: int = 3, timeout: int = 600) -> List[float]:
@@ -153,35 +183,68 @@ def spawn(nproc: int, ndev_per_proc: int, steps: int = 3, timeout: int = 600) ->
         )
         for pid in range(nproc)
     ]
-    # drain ALL pipes concurrently: the workers run collectives, so a
-    # non-first worker blocked writing to a full stderr pipe would stall the
-    # barrier and deadlock a sequential communicate() on worker 0
+    # drain ALL pipes concurrently AND incrementally: the workers run
+    # collectives, so a non-first worker blocked writing to a full stderr
+    # pipe would stall the barrier and deadlock a sequential communicate()
+    # on worker 0 — and on a parent-side timeout the already-read progress
+    # lines are the forensics that distinguish slow-compile from deadlock.
     import threading
+    import time
 
-    outputs = [None] * nproc
+    stderr_lines: List[List[str]] = [[] for _ in procs]
+    stdout_text = [""] * nproc
 
-    def drain(i, p):
-        outputs[i] = p.communicate(timeout=timeout)
+    def drain_err(i, p):
+        for line in p.stderr:
+            stderr_lines[i].append(line.rstrip())
+
+    def drain_out(i, p):
+        stdout_text[i] = p.stdout.read()
 
     threads = [
-        threading.Thread(target=drain, args=(i, p)) for i, p in enumerate(procs)
+        threading.Thread(target=fn, args=(i, p), daemon=True)
+        for i, p in enumerate(procs)
+        for fn in (drain_err, drain_out)
     ]
     for t in threads:
         t.start()
+
+    deadline = time.monotonic() + timeout
+    timed_out = False
+    for p in procs:
+        try:
+            p.wait(timeout=max(0.1, deadline - time.monotonic()))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            break
+    if timed_out:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for t in threads:
-        t.join(timeout + 30)
+        t.join(30)
+
+    def tail(i: int, n: int = 3) -> str:
+        progress = [ln for ln in stderr_lines[i] if ln.startswith("[mp_check")]
+        return " | ".join(progress[-n:]) or "(no progress lines)"
+
+    if timed_out:
+        tails = [tail(i) for i in range(nproc)]
+        raise MpCheckTimeout(
+            f"mp_check worker did not finish in time (parent deadline "
+            f"{timeout}s); last progress per worker:\n"
+            + "\n".join(f"  p{i}: {t}" for i, t in enumerate(tails)),
+            tails,
+        )
 
     results = []
-    for p, out_err in zip(procs, outputs):
-        if out_err is None:
-            p.kill()
-            raise RuntimeError("mp_check worker did not finish in time")
-        out, err = out_err
+    for i, p in enumerate(procs):
         if p.returncode != 0:
+            err = "\n".join(stderr_lines[i][-60:])
             raise RuntimeError(
-                f"mp_check worker failed (rc={p.returncode}):\n{err[-4000:]}"
+                f"mp_check worker {i} failed (rc={p.returncode}):\n{err[-4000:]}"
             )
-        line = [ln for ln in out.splitlines() if ln.startswith("PROBE ")][-1]
+        line = [ln for ln in stdout_text[i].splitlines() if ln.startswith("PROBE ")][-1]
         results.append(float(line.split()[1]))
     return results
 

@@ -49,6 +49,7 @@ class LitDDPM:
         snr_gamma: Optional[float] = None,
         guidance_scale: float = 1.0,
         moe_aux_weight: float = 0.0,
+        moe_z_weight: float = 1e-3,
     ) -> None:
         self.lr = lr
         self.warmup = warmup
@@ -67,11 +68,16 @@ class LitDDPM:
         #: sampling-time classifier-free guidance weight (1.0 = plain
         #: conditional; only used when num_classes is set)
         self.guidance_scale = guidance_scale
-        #: >0 → add the MoE router losses (load-balance aux + z-loss,
-        #: models/moe.py ``sow``-ed into the "losses" collection) to the
-        #: diffusion loss at this weight. Required for MoE-DiT models —
-        #: without it the router collapses onto one expert.
+        #: >0 → add the MoE router losses (models/moe.py, ``sow``-ed into
+        #: the "losses" collection) to the diffusion loss: the Switch
+        #: load-balance aux at ``moe_aux_weight`` and the raw St-MoE router
+        #: z-loss at ``moe_z_weight`` (default 1e-3, the St-MoE paper
+        #: value). Required for MoE-DiT models — without it the router
+        #: collapses onto one expert. Every harness's make_loss_fn routes
+        #: its model calls through :meth:`loss_model_fn` +
+        #: :meth:`add_moe_aux` so no override can silently drop these.
         self.moe_aux_weight = moe_aux_weight
+        self.moe_z_weight = moe_z_weight
 
         if model is None:
             model = model_lib.ddpm.UNet(
@@ -125,10 +131,13 @@ class LitDDPM:
             else:
                 params = self.model.init(rng_, x, t)
             # init makes every collection mutable, so MoE models also
-            # return their sown "losses" scalars — keep only real weights
-            # (the train state must hold parameters, nothing else)
-            if "losses" in params:
-                params = {k: v for k, v in params.items() if k != "losses"}
+            # return their sown "losses"/"moe_stats" scalars — keep only
+            # real weights (the train state must hold parameters, nothing
+            # else)
+            params = {
+                k: v for k, v in params.items()
+                if k not in ("losses", "moe_stats")
+            }
             return TrainState.create(
                 params,
                 tx,
@@ -161,11 +170,7 @@ class LitDDPM:
             # THIS trace (models/moe.py); appending tracers to a python list
             # and consuming them in the same jaxpr is sound
             aux_box: list = []
-            base_fn = (
-                self._aux_model_fn(aux_box)
-                if self.moe_aux_weight > 0
-                else self.model_fn
-            )
+            base_fn = self.loss_model_fn(aux_box)
             model_fn = base_fn
             if y is not None and self.num_classes is not None:
                 drop_rng, rng = jax.random.split(rng)
@@ -178,15 +183,22 @@ class LitDDPM:
                     )
 
             loss = self.diffusion_model.loss(model_fn, params, rng, x, train=True)
-            if aux_box:
-                loss = loss + self.moe_aux_weight * sum(aux_box)
-            return loss
+            return self.add_moe_aux(loss, aux_box)
 
         return loss_fn
 
-    def _aux_model_fn(self, aux_box: list):
-        """A model_fn that also collects the "losses" collection (MoE
-        router aux + z losses, models/moe.py) into ``aux_box``."""
+    def loss_model_fn(self, aux_box: list):
+        """Base model_fn for a TRAINING loss trace.
+
+        With ``moe_aux_weight > 0`` the returned fn also collects the MoE
+        router losses sown into the "losses" collection (models/moe.py)
+        into ``aux_box`` as ``(aux_sum, z_sum)`` tuples; otherwise it is
+        plain ``self.model_fn``. SHARED by every harness's make_loss_fn
+        override (LitDDPM/LitDistill/LitUpsampler/…) so a subclass cannot
+        accept ``moe_aux_weight`` and silently ignore it (ADVICE r4). Close
+        the loss with :meth:`add_moe_aux`."""
+        if self.moe_aux_weight <= 0:
+            return self.model_fn
 
         def model_fn(params, x, t, *, y=None, train=False, rngs=None):
             kwargs = {} if y is None else {"y": y}
@@ -194,12 +206,23 @@ class LitDDPM:
                 params, x, t, train=train, rngs=rngs,
                 mutable=["losses"], **kwargs,
             )
-            leaves = jax.tree.leaves(vs.get("losses", {}))
-            if leaves:
-                aux_box.append(sum(leaves))
+            flat = jax.tree_util.tree_flatten_with_path(vs.get("losses", {}))[0]
+            if flat:
+                z = [v for kp, v in flat if "moe_z" in jax.tree_util.keystr(kp)]
+                aux = [v for kp, v in flat if "moe_z" not in jax.tree_util.keystr(kp)]
+                aux_box.append((sum(aux) if aux else 0.0, sum(z) if z else 0.0))
             return out
 
         return model_fn
+
+    def add_moe_aux(self, loss, aux_box: list):
+        """loss + moe_aux_weight·Σaux + moe_z_weight·Σz over the router
+        losses :meth:`loss_model_fn` collected (no-op when none were)."""
+        if not aux_box:
+            return loss
+        aux = sum(a for a, _ in aux_box)
+        z = sum(z_ for _, z_ in aux_box)
+        return loss + self.moe_aux_weight * aux + self.moe_z_weight * z
 
     def eval_loss(self, params, rng, x, y=None):
         """Eval-mode diffusion loss on a processed batch (the validate
@@ -450,10 +473,15 @@ class LitDistill(LitDDPM):
             if datamodule is not None:
                 aug_rng, rng = jax.random.split(rng)
                 x = datamodule.train_transform(aug_rng, x)
-            return self.distiller.loss(
+            # the STUDENT routes through the shared aux collector so
+            # distilling a MoE-DiT keeps its router losses (the teacher is
+            # frozen — its routers need no regularization)
+            aux_box: list = []
+            loss = self.distiller.loss(
                 self.teacher_fn, self.teacher_params,
-                self.model_fn, params, rng, x, train=True,
+                self.loss_model_fn(aux_box), params, rng, x, train=True,
             )
+            return self.add_moe_aux(loss, aux_box)
 
         return loss_fn
 
@@ -582,12 +610,15 @@ class LitUpsampler(LitDDPM):
         assert h % f == 0 and w % f == 0, (x.shape, f)
         return x.reshape(n, h // f, f, w // f, f, c).mean(axis=(2, 4))
 
-    def bound_model_fn(self, cond: jax.Array):
+    def bound_model_fn(self, cond: jax.Array, base_fn=None):
         """model_fn with the upsampled conditioning concatenated on
-        channels; ``cond`` must already be at the high resolution."""
+        channels; ``cond`` must already be at the high resolution.
+        ``base_fn`` lets the training loss route through the shared MoE
+        aux collector (:meth:`LitDDPM.loss_model_fn`)."""
+        base_fn = base_fn or self.model_fn
 
         def model_fn(params, x_t, t, *, train=False, rngs=None):
-            return self.model_fn(
+            return base_fn(
                 params,
                 jnp.concatenate([x_t, cond.astype(x_t.dtype)], axis=-1), t,
                 train=train, rngs=rngs,
@@ -603,9 +634,12 @@ class LitUpsampler(LitDDPM):
                 aug_rng, rng = jax.random.split(rng)
                 x = datamodule.train_transform(aug_rng, x)
             cond = jax.image.resize(self.downsample(x), x.shape, "linear")
-            return self.diffusion_model.loss(
-                self.bound_model_fn(cond), params, rng, x, train=True
+            aux_box: list = []
+            loss = self.diffusion_model.loss(
+                self.bound_model_fn(cond, self.loss_model_fn(aux_box)),
+                params, rng, x, train=True,
             )
+            return self.add_moe_aux(loss, aux_box)
 
         return loss_fn
 

@@ -10,8 +10,11 @@ imgs/sec each. This does NOT replace the per-GPU estimate in bench.py (TPU
 vs GPU is the real question); it replaces *guesswork about relative
 efficiency* with a measured same-silicon ratio.
 
-Usage: python scripts/measure_reference_cpu.py [batch] [iters]
-Writes one JSON line. CPU-only (never touches the TPU tunnel).
+Usage: python scripts/measure_reference_cpu.py [batch] [iters] [device]
+Writes one JSON line. Never touches the TPU tunnel. ``device`` defaults
+to ``cpu``; pass ``cuda`` on a GPU box to measure the reference's REAL
+baseline (fp16 autocast, its shipped recipe) — the operator TODO in
+docs/operations.md that replaces bench.py's 220 imgs/sec estimate.
 """
 
 if not __package__:  # launched by path: put the repo root on sys.path
@@ -28,6 +31,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+DEVICE = sys.argv[3] if len(sys.argv) > 3 else "cpu"
 
 
 def load_reference():
@@ -55,25 +59,32 @@ def measure_reference() -> float:
 
     dmme = load_reference()
     torch.manual_seed(0)
-    net = dmme.models.ddpm.UNet()  # default 35.7M-param config
-    algo = dmme.diffusion_models.DDPM(net, timesteps=1000)
+    net = dmme.models.ddpm.UNet().to(DEVICE)  # default 35.7M-param config
+    algo = dmme.diffusion_models.DDPM(net, timesteps=1000).to(DEVICE)
     opt = torch.optim.Adam(net.parameters(), lr=2e-4)
-    x = torch.randn(BATCH, 3, 32, 32)
+    x = torch.randn(BATCH, 3, 32, 32, device=DEVICE)
+    # on CUDA, measure the reference's SHIPPED recipe: fp16 AMP
+    # (configs/ddpm/cifar10.yaml precision 16 / scripts/main.py autocast)
+    use_amp = DEVICE.startswith("cuda")
 
-    # one warmup step
-    loss = algo.training_step(x)
-    loss.backward()
-    torch.nn.utils.clip_grad_norm_(net.parameters(), 1.0)
-    opt.step()
-    opt.zero_grad()
+    def sync():
+        if use_amp:
+            torch.cuda.synchronize()
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        loss = algo.training_step(x)
+    def one_step():
+        with torch.autocast(device_type="cuda", enabled=use_amp):
+            loss = algo.training_step(x)
         loss.backward()
         torch.nn.utils.clip_grad_norm_(net.parameters(), 1.0)
         opt.step()
         opt.zero_grad()
+
+    one_step()  # warmup
+    sync()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        one_step()
+    sync()
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
 
@@ -109,6 +120,17 @@ def measure_ours() -> float:
 
 def main():
     ref_ips = measure_reference()
+    if DEVICE != "cpu":
+        # GPU baseline mode: the jax side of this box has no GPU; report
+        # the reference number alone (bench.py's BASELINE_IMGS_PER_SEC)
+        print(json.dumps({
+            "device": DEVICE, "batch": BATCH, "iters": ITERS,
+            "reference_torch_imgs_per_sec": round(ref_ips, 3),
+            "note": "reference shipped recipe (fp16 autocast on cuda); "
+                    "paste into bench.py BASELINE_IMGS_PER_SEC and clear "
+                    "vs_baseline_is_estimate",
+        }))
+        return
     ours_ips = measure_ours()
     print(json.dumps({
         "host": "cpu (same silicon both sides)",

@@ -129,17 +129,126 @@ class TestMoEDiT:
         _, m0 = step0(state0, batch, jax.random.PRNGKey(3))
         assert float(m0["loss"]) < losses[0]
 
+    def test_routing_stays_balanced_under_training(self, rng):
+        """Expert-collapse regression (VERDICT r4): after real optimization
+        steps with the aux loss on, the per-expert routed fractions f_e
+        (sown into "moe_stats") keep high entropy — no expert starves,
+        none hoards. The classic MoE failure mode is max_e f_e → 1."""
+        from dmme_tpu.data import CIFAR10
+        from dmme_tpu.parallel import make_train_step
+        from dmme_tpu.training import LitFlow
+
+        model = self._model()
+        lit = LitFlow(model=model, lr=1e-3, warmup=1, moe_aux_weight=0.01)
+        dm = CIFAR10(synthetic=True, synthetic_size=32, batch_size=16)
+        dm.setup("fit")
+        state = lit.init_state(rng, img_size=32)
+        step = make_train_step(lit.make_loss_fn(dm))
+        it = dm.train_iter(0)
+        for i in range(30):
+            state, _ = step(state, jnp.asarray(next(it)), jax.random.PRNGKey(i))
+
+        x = (jnp.asarray(np.asarray(dm.train_data[:16], np.float32)) / 255.0) * 2 - 1
+        _, vs = model.apply(
+            state.params, x, jnp.full((16,), 0.5), mutable=["moe_stats"]
+        )
+        for kp, f in jax.tree_util.tree_flatten_with_path(vs["moe_stats"])[0]:
+            f = np.asarray(f)
+            e = f.shape[-1]
+            np.testing.assert_allclose(f.sum(), 1.0, atol=1e-5)
+            entropy = -np.sum(f * np.log(np.maximum(f, 1e-9)))
+            assert entropy >= 0.5 * np.log(e), (
+                jax.tree_util.keystr(kp), f, entropy,
+            )
+            assert f.max() < 0.9, (jax.tree_util.keystr(kp), f)
+
+    def test_distill_harness_keeps_router_losses(self, rng):
+        """LitDistill's make_loss_fn override routes the STUDENT through
+        the shared aux collector — distilling a MoE-DiT must not silently
+        drop the Switch load-balance/z losses (ADVICE r4)."""
+        from dmme_tpu.diffusion.distill import ProgressiveDistillation
+        from dmme_tpu.training import LitDistill
+
+        teacher = self._model(out_channels=3)
+        x0 = jax.random.normal(rng, (1, 16, 16, 3))
+        tparams = teacher.init(rng, x0, jnp.array([1]))
+        tparams = {k: v for k, v in tparams.items() if k != "losses"}
+        pd = ProgressiveDistillation.create(
+            timesteps=8, student_steps=2,
+            teacher_parameterization="eps", student_parameterization="eps",
+        )
+        x = jax.random.normal(rng, (2, 16, 16, 3))
+
+        def loss_at(w):
+            lit = LitDistill(
+                teacher_model=teacher, teacher_params=tparams,
+                distiller=pd, init_params=tparams, moe_aux_weight=w,
+            )
+            fn = lit.make_loss_fn(None)
+            return float(fn(tparams, jax.random.PRNGKey(0), x))
+
+        with_aux, without = loss_at(0.01), loss_at(0.0)
+        assert np.isfinite(with_aux) and np.isfinite(without)
+        assert with_aux > without  # router losses present and positive
+
+    def test_upsampler_harness_keeps_router_losses(self, rng):
+        """Same invariant for LitUpsampler's bound-conditioning override."""
+        from dmme_tpu.training import LitUpsampler
+
+        model = self._model(in_channels=6, out_channels=3)
+        x = jax.random.normal(rng, (2, 16, 16, 3))
+
+        def loss_at(w):
+            lit = LitUpsampler(
+                factor=2, model=model, timesteps=8, moe_aux_weight=w
+            )
+            params = lit.init_state(rng, img_size=16).params
+            return float(lit.make_loss_fn(None)(params, jax.random.PRNGKey(0), x))
+
+        with_aux, without = loss_at(0.01), loss_at(0.0)
+        assert np.isfinite(with_aux) and np.isfinite(without)
+        assert with_aux > without
+
 
 class TestExpertParallel:
     def test_expert_spec_on_rank3(self, devices):
+        """Expert sharding is path-gated: only leaves under a MoE module
+        name shard axis 0 — a future rank-3 NON-expert weight (1D-conv
+        kernel, per-head projection) must not be silently mis-sharded."""
         from dmme_tpu.parallel import make_mesh
         from dmme_tpu.parallel.mesh import fsdp_param_spec
 
         mesh = make_mesh(devices, data=2, fsdp=2, expert=2)
-        spec = fsdp_param_spec((4, 64, 256), mesh)
+        spec = fsdp_param_spec((4, 64, 256), mesh,
+                               path="['params']['block_1']['moe_mlp']['w_in']")
         assert spec[0] == "expert"
-        conv = fsdp_param_spec((3, 3, 256, 256), mesh)
+        # same shape, non-MoE path: no expert axis
+        other = fsdp_param_spec((4, 64, 256), mesh,
+                                path="['params']['conv1d']['kernel']")
+        assert "expert" not in tuple(other)
+        # pathless direct call: no expert axis either
+        assert "expert" not in tuple(fsdp_param_spec((4, 64, 256), mesh))
+        conv = fsdp_param_spec((3, 3, 256, 256), mesh, path="moe_mlp ctx")
         assert "expert" not in tuple(conv)
+
+    def test_params_sharding_paths_reach_expert_rule(self, rng, devices):
+        """params_sharding supplies paths: MoE stacks land on the expert
+        axis, everything else stays off it."""
+        from dmme_tpu.parallel import make_mesh
+        from dmme_tpu.parallel.mesh import params_sharding
+
+        from tests.test_dit import tiny_dit
+
+        model = tiny_dit(num_experts=4, moe_stride=2)
+        params = model.init(rng, jnp.zeros((1, 16, 16, 3)), jnp.array([1]))
+        params = {k: v for k, v in params.items() if k != "losses"}
+        mesh = make_mesh(devices, data=2, fsdp=2, expert=2)
+        sh = params_sharding(params, mesh, min_weight_size=64)
+        moe_spec = sh["params"]["block_1"]["moe_mlp"]["w_in"].spec
+        assert moe_spec[0] == "expert"
+        for kp, s in jax.tree_util.tree_flatten_with_path(sh)[0]:
+            if "moe" not in jax.tree_util.keystr(kp):
+                assert "expert" not in tuple(s.spec), (kp, s.spec)
 
     def test_batch_axes_include_expert(self, devices):
         from dmme_tpu.parallel import make_mesh
