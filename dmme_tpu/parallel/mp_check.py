@@ -166,10 +166,37 @@ def spawn(nproc: int, ndev_per_proc: int, steps: int = 3, timeout: int = 600) ->
     # compile (the faster worker's async-dispatched psum then dies SILENTLY
     # — the error surfaces only at the next blocking fetch, while the peer
     # sleeps forever on the dead socket). Raise it well past any compile.
+    # --xla_cpu_max_isa=AVX2: on this host XLA:CPU's default AVX512 target
+    # adds +prefer-no-scatter/+prefer-no-gather tuning features that the AOT
+    # cache loader then rejects at load time ("not supported on the host
+    # machine"), so EVERY persistent-cache entry recompiled — warm == cold
+    # (measured: 8/8 entries rejected; 0/8 under AVX2). Capping the ISA makes
+    # the cache actually load; vector width is irrelevant here (the check is
+    # layout-correctness on tiny shapes, and both sides of the bitwise
+    # invariant run under the same flag).
+    # Flags measured in round 5 (1-CPU box, this exact worker program):
+    # * collective timeout is PINNED (not derived from the caller's
+    #   deadline): XLA_FLAGS are part of the persistent-cache key, so a
+    #   varying value silently recompiled every program on every run — the
+    #   warm path never existed until this was pinned (warm single-process
+    #   fit: 14 s vs 50 s cold).
+    # * ISA stays at the DEFAULT (AVX512 here). --xla_cpu_max_isa=AVX2 makes
+    #   the AOT cache load with zero feature-mismatch rejections, but it
+    #   BREAKS the bitwise invariant: the 2-process trained params differ
+    #   from single-process in the last ulps (1.4714663029 vs 1.4714665413
+    #   probe) — the 8-way in-process all-reduce's reduction tree no longer
+    #   coincides with the hierarchical local+Gloo composition. Under the
+    #   default pipeline they match exactly (verified cold and warm);
+    #   --xla_backend_optimization_level=0 also breaks the match. The few
+    #   per-entry AVX512 loader rejections are affordable (warm multi:
+    #   68 s vs 119 s cold). DMME_MP_CHECK_ISA_FLAGS overrides for
+    #   experiments.
+    isa_flags = os.environ.get("DMME_MP_CHECK_ISA_FLAGS", "")
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={ndev_per_proc} "
-        f"--xla_cpu_collective_timeout_seconds={max(300, timeout)}"
-    )
+        f"--xla_cpu_collective_timeout_seconds=900 "
+        f"{isa_flags}"
+    ).strip()
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [

@@ -171,15 +171,40 @@ def admu256(ablate: bool):
     del ablate
 
 
+def dit_moe(ablate: bool):
+    """On-chip step of the cifar10_dit_moe recipe (VERDICT r4 #2c): sparse
+    MoE-DiT-S/4 (8 experts, top-2, every other block) under LitFlow at the
+    CIFAR-10 shape, next to the dense DiT-S it grows from — proves the
+    dispatch/combine einsum path compiles on the chip and records the
+    sparsity tax at E=8/top-2 on one chip (no expert axis to shard over)."""
+    from dmme_tpu.models.dit import DiT_S
+    from dmme_tpu.training import LitFlow
+
+    def build(**kw):
+        return LitFlow(
+            model=DiT_S(dtype=jnp.bfloat16, **kw), lr=1e-4, warmup=5000,
+            moe_aux_weight=0.01 if kw.get("num_experts") else 0.0,
+        )
+
+    measure(build(), 32, 128, chunk=10, label="flow/dit-s dense")
+    measure(
+        build(num_experts=8, moe_stride=2, moe_top_k=2,
+              moe_capacity_factor=1.25),
+        32, 128, chunk=10, label="flow/cifar10_dit_moe e8top2",
+    )
+    del ablate
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["imagenet64", "lsun256", "admu256"])
+    ap.add_argument(
+        "which", choices=["imagenet64", "lsun256", "admu256", "dit_moe"]
+    )
     ap.add_argument("--ablate", action="store_true")
     args = ap.parse_args()
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
-    {"imagenet64": imagenet64, "lsun256": lsun256, "admu256": admu256}[
-        args.which
-    ](args.ablate)
+    {"imagenet64": imagenet64, "lsun256": lsun256, "admu256": admu256,
+     "dit_moe": dit_moe}[args.which](args.ablate)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,19 @@ def main():
             out = jax.jit(algo.generate, static_argnums=(0, 3))(
                 lit.model, state.ema_params, rng, shape
             )
+        elif name == "flow":
+            # flow[:order[:steps]] — Euler (1) vs midpoint (2) at an explicit
+            # step count, so equal-NFE comparisons (euler-2N vs midpoint-N)
+            # land in one probe invocation. NFE = order · steps.
+            algo, adapt = make_sampler(
+                lit.diffusion_model, "flow",
+                int(parts[2]) if len(parts) > 2 else args.steps,
+            )
+            if len(parts) > 1:
+                algo = algo.replace(order=int(parts[1]))
+            out = jax.jit(algo.generate, static_argnums=(0, 3))(
+                adapt(lit.model_fn), state.ema_params, rng, shape
+            )
         else:
             algo, adapt = make_sampler(lit.diffusion_model, name, args.steps)
             out = jax.jit(algo.generate, static_argnums=(0, 3))(
