@@ -15,7 +15,7 @@ urw7rs/diffusion-models-made-easy v0.5.2 (reference layer map in SURVEY.md §1):
 * ``dmme_tpu.eval``       — FID / Inception Score
 """
 
-__version__ = "0.4.2"
+__version__ = "0.5.0"
 
 from dmme_tpu.utils import (
     gaussian,

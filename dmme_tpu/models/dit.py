@@ -94,6 +94,8 @@ class DiTBlock(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    moe_router_noise: float = 1.0
+    moe_sinkhorn_iters: int = 8
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -135,6 +137,9 @@ class DiTBlock(nn.Module):
                 mlp_dim=int(d * self.mlp_ratio),
                 top_k=self.moe_top_k,
                 capacity_factor=self.moe_capacity_factor,
+                router_noise=self.moe_router_noise,
+                sinkhorn_iters=self.moe_sinkhorn_iters,
+                deterministic=self.deterministic,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="moe_mlp",
@@ -185,6 +190,10 @@ class DiT(nn.Module):
     moe_stride: int = 2
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    #: router exploration-noise std during training (models/moe.py)
+    moe_router_noise: float = 1.0
+    #: training-time sinkhorn balancing iterations (models/moe.py; 0 = off)
+    moe_sinkhorn_iters: int = 8
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     #: rematerialize each block (trade FLOPs for HBM at depth)
@@ -254,6 +263,8 @@ class DiT(nn.Module):
                 num_experts=self.num_experts if moe_here else 0,
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
+                moe_router_noise=self.moe_router_noise,
+                moe_sinkhorn_iters=self.moe_sinkhorn_iters,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"block_{i}",

@@ -16,12 +16,21 @@ expert weight leaves shaped (E, d_in, d_out) shard on axis 0 via
 fsdp_param_spec, and the SPMD partitioner inserts the token all-to-alls
 from the dispatch/combine contractions).
 
+Routing health (round 5, measured on-chip — docs/training_demo.md "MoE
+routing health" for the collapse → fix arc): training-time selection
+goes through exploration noise (noisy top-k, Shazeer et al. 2017) and a
+Sinkhorn-balanced transport (Megatron's sinkhorn router), and the
+transport is also the SwAV-style self-labeling target for the router
+softmax (Caron et al. 2020) so the deterministic eval-time argmax
+converges to the balanced assignment instead of collapsing.
+
 Losses: the Switch load-balance auxiliary (E · Σ_e f_e · P_e, = 1 when
-perfectly balanced) and the RAW router z-loss (St-MoE, Zoph et al. 2022)
-are ``sow``-ed into the ``"losses"`` collection; the training harnesses
-(every LitDDPM-family ``make_loss_fn``, via the shared
-``LitDDPM.loss_model_fn``/``add_moe_aux`` helpers) add them to the
-diffusion loss as ``moe_aux_weight·aux + moe_z_weight·z`` when
+perfectly balanced), the SwAV alignment CE above, and the RAW router
+z-loss (St-MoE, Zoph et al. 2022) are ``sow``-ed into the ``"losses"``
+collection; the training harnesses (every LitDDPM-family
+``make_loss_fn``, via the shared ``LitDDPM.loss_model_fn``/
+``add_moe_aux`` helpers) add them to the diffusion loss as
+``moe_aux_weight·(aux + align) + moe_z_weight·z`` when
 ``moe_aux_weight > 0`` — apply with ``mutable=["losses"]`` to read them.
 """
 
@@ -47,6 +56,35 @@ class MoEMlp(nn.Module):
     mlp_dim: int
     top_k: int = 2
     capacity_factor: float = 1.25
+    #: std of the exploration noise added to router logits during training
+    #: (noisy top-k gating, Shazeer et al. 2017 §2.1). Without it the argmax
+    #: routing of a fresh model is degenerate — at init the adaLN-Zero
+    #: blocks are identity, so the router sees near-identical LayerNormed
+    #: patch embeddings whose shared component picks ONE winner for most
+    #: tokens; that expert then trains fastest and rich-get-richer locks in
+    #: (measured on-chip: max f_e 0.91 at init, stuck at ~0.74 after 2k
+    #: steps with the aux loss alone — runs/moe_routing_probe.jsonl).
+    #: Noise comparable to the logit scale (the z-loss keeps logits O(1))
+    #: makes early routing exploratory so every expert receives tokens and
+    #: gradient; as router logit gaps grow past the noise, routing anneals
+    #: toward deterministic. Eval / deterministic=True is noise-free.
+    router_noise: float = 1.0
+    #: Sinkhorn iterations balancing the TRAINING-time assignment matrix
+    #: (Megatron-LM's sinkhorn router; Clark et al. 2022). Noise alone is
+    #: not enough: once the warmup LR ramp grows router logit gaps past the
+    #: noise, argmax routing re-locks (measured: max f_e back to 0.72 by
+    #: step 600), and the Switch aux is gameable — the router can lower an
+    #: overloaded expert's MEAN prob toward 1/E while keeping it the
+    #: per-token argmax, so the aux saturates without balancing f_e.
+    #: Sinkhorn instead balances the selection itself: iterate row/column
+    #: normalization of softmax(logits) so every expert receives ~s·k/E
+    #: tokens, then top-k on the balanced matrix. Gates still come from the
+    #: RAW softmax, so the main loss trains the router to agree with the
+    #: balanced assignment — eval-time argmax routing (deterministic=True:
+    #: no sinkhorn, batch-independent) converges to balance because that is
+    #: the routing the experts were trained under. 0 = off.
+    sinkhorn_iters: int = 8
+    deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -65,11 +103,39 @@ class MoEMlp(nn.Module):
         logits = nn.Dense(
             e, dtype=jnp.float32, param_dtype=self.param_dtype, name="router"
         )(xs.astype(jnp.float32))
+        if (
+            not self.deterministic
+            and self.router_noise > 0
+            and self.has_rng("dropout")
+        ):
+            logits = logits + self.router_noise * jax.random.normal(
+                self.make_rng("dropout"), logits.shape, jnp.float32
+            )
         probs = jax.nn.softmax(logits, axis=-1)  # (s, e)
+
+        # selection matrix: balanced by sinkhorn during training (see the
+        # sinkhorn_iters note), the raw probs at eval. Gates are ALWAYS
+        # taken from the raw probs below.
+        sel = probs
+        if not self.deterministic and self.sinkhorn_iters > 0:
+            for _ in range(self.sinkhorn_iters):
+                sel = sel / (jnp.sum(sel, axis=0, keepdims=True) + 1e-9)
+                sel = sel / (jnp.sum(sel, axis=1, keepdims=True) + 1e-9)
+            sel = jax.lax.stop_gradient(sel)
+            # SwAV-style self-labeling (Caron et al. 2020): the balanced
+            # transport is the router's training target. Without this the
+            # raw argmax drifts back to collapse even while the balanced
+            # selection trains every expert (measured: max f_e 0.88 by
+            # step 1000) — balanced *selection* alone puts no pressure on
+            # the *logits*. The CE rides the aux bucket (moe_aux_weight).
+            align = -jnp.mean(
+                jnp.sum(sel * jax.nn.log_softmax(logits), axis=-1)
+            )
+            self.sow("losses", "moe_align", align)
 
         # ---- top-k token-choice assignment, one round per k (k is 1 or 2
         # in practice; rounds are unrolled python — static for XLA)
-        remaining = probs
+        remaining = sel
         masks, gates = [], []
         for _ in range(k):
             idx = jnp.argmax(remaining, axis=-1)                 # (s,)
