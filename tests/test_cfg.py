@@ -224,6 +224,7 @@ class TestReviewRegressions:
 
         assert math.isfinite(res["val/loss"])
 
+    @pytest.mark.slow
     def test_fit_accumulate_with_labels(self, tmp_path):
         """Gradient accumulation over (images, labels) tuple batches
         (np.stack on tuples used to crash)."""

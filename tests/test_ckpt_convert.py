@@ -88,6 +88,7 @@ class TestStripPrefix:
 
 
 class TestConvertScript:
+    @pytest.mark.slow
     def test_roundtrip_forward_parity(self, tmp_path):
         ref = load_reference_model_module("ddpm")
         net = ref.UNet(**TINY, dropout=0.0, attention_depths=(2,)).eval()

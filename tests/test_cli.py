@@ -282,6 +282,7 @@ class TestTrainerCLI:
         b = np.load(files[1])
         assert not np.array_equal(a, b)  # per-batch rng fold_in
 
+    @pytest.mark.slow
     def test_sample_sampler_override_iddpm(self, tmp_path):
         """Regression (self-review): the override must adapt IDDPM's
         2C-channel output (eps_only) AND reuse the trained cosine schedule

@@ -127,6 +127,7 @@ class TestLoss:
         )
         assert loss == pytest.approx(0.0, abs=1e-8)
 
+    @pytest.mark.slow
     def test_loss_finite_and_differentiable_tiny_unets(self):
         from dmme_tpu.models import ddpm as ddpm_models
         from dmme_tpu.models import as_model_fn

@@ -5,6 +5,7 @@ The decisive one: order=1 is ALGEBRAICALLY the canonical eta=0 DDIM update
 match our DDIM sampler step for step.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,6 +95,7 @@ class TestDPMSolverPP:
 
 
 class TestEpsOnlyAdapter:
+    @pytest.mark.slow
     def test_iddpm_model_drives_fast_samplers(self):
         """IDDPM's 2C-channel (eps || v) output drives DDIM and DPM-Solver++
         through models.eps_only (capability the reference lacks: its IDDPM

@@ -247,6 +247,7 @@ class TestEvaluateLoop:
 
 
 class TestSamplerOverrideInTest:
+    @pytest.mark.slow
     def test_fid_with_dpm_override(self, tmp_path):
         """trainer-test's sampler override: FID evaluation through
         DPM-Solver++ at few NFE (2.4x cheaper generation)."""

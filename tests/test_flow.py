@@ -199,6 +199,7 @@ def test_lit_flow_train_and_sample():
     assert out.shape == (2, 8, 8, 3) and bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_lit_flow_conditional_cfg():
     """Class-conditional flow: the CFG wrapper extrapolates VELOCITIES the
     same way it extrapolates ε — no flow-specific wiring."""

@@ -429,6 +429,7 @@ class TestFaultTolerance:
 
 
 class TestMicrobatchedGrads:
+    @pytest.mark.slow
     def test_matches_full_batch_gradient(self, rng):
         """Scan-carried grad accumulation == value_and_grad of the scanned
         mean loss (the old formulation, which multiplied peak HBM by k by

@@ -37,6 +37,7 @@ class TestLitUpsampler:
             rtol=1e-6,
         )
 
+    @pytest.mark.slow
     def test_loss_finite_and_differentiable(self, rng):
         lit = tiny_upsampler()
         state = lit.init_state(rng, img_size=16)
