@@ -16,9 +16,40 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 BASELINE_IMGS_PER_SEC = 220.0  # see module docstring
+
+# Wall-clock ceiling for the whole bench. The axon tunnel has two observed
+# wedge modes: backend init stalls (BENCH_r03 — covered by probe_backend),
+# and a rarer one seen 2026-08-20 where dispatch succeeds but every
+# device->host fetch blocks forever. A watchdog converts either into the
+# machine-readable error line instead of a silent driver-budget burn.
+# Cold run measured 190s warmup + ~8 compiled legs => 1500s is ~2x headroom.
+WATCHDOG_S = float(os.environ.get("DMME_BENCH_WATCHDOG_S", "1500"))
+
+_stage = {"name": "startup", "since": time.time()}
+
+
+def set_stage(name: str) -> None:
+    _stage["name"] = name
+    _stage["since"] = time.time()
+    print(f"# stage: {name}", file=sys.stderr, flush=True)
+
+
+def start_watchdog() -> None:
+    def fire():
+        fail_json(
+            "watchdog",
+            f"bench exceeded {WATCHDOG_S:.0f}s wall ceiling; stuck in stage "
+            f"'{_stage['name']}' for {time.time() - _stage['since']:.0f}s "
+            "(axon fetch-wedge mode: dispatch works, device->host blocks)",
+        )
+
+    t = threading.Timer(WATCHDOG_S, fire)
+    t.daemon = True
+    t.start()
 
 BATCH = 128
 CHUNK = 10          # train steps fused per device call
@@ -128,6 +159,7 @@ def fail_json(stage: str, detail: str) -> None:
 
 
 def main():
+    start_watchdog()
     ok, detail = probe_backend()
     if not ok:
         fail_json("backend_init", detail)
@@ -184,6 +216,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     _logger.addHandler(_CacheCounter())
 
     rng = jax.random.PRNGKey(0)
+    set_stage("unet_init")
     t0 = time.perf_counter()
     state = lit.init_state(rng, img_size=32)
     float(jnp.sum(state.step))  # sync (block_until_ready unreliable on axon)
@@ -196,6 +229,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     t_stage = time.perf_counter() - t0 - t_init
 
     # compile + warmup (one chunk)
+    set_stage("unet_train_compile")
     state, metrics = chunk_fn(state, stacked, rng)
     first_loss = float(jax.device_get(metrics["loss"])[-1])
     t_total = time.perf_counter() - t0
@@ -207,6 +241,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
         file=sys.stderr,
     )
 
+    set_stage("unet_train_timed")
     t0 = time.perf_counter()
     for _ in range(CHUNKS_TIMED):
         state, metrics = chunk_fn(state, stacked, rng)
@@ -223,6 +258,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     from dmme_tpu.models.dit import DiT_S
     from dmme_tpu.training import LitFlow
 
+    set_stage("dit_train")
     dit_lit = LitFlow(model=DiT_S(dtype=jnp.bfloat16), lr=1e-4)
     dit_state = dit_lit.init_state(rng, img_size=32)
     float(jnp.sum(dit_state.step))
@@ -241,6 +277,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     assert np.isfinite(dit_last_loss), dit_last_loss
 
     # ---- DDIM 50-step sampler (quadratic tau over T=1000, eta=0) ----
+    set_stage("ddim50_sample")
     algo = DDIM.create(timesteps=1000, sub_timesteps=50)
     model_fn = as_model_fn(lit.model)
     gen = jax.jit(algo.generate, static_argnums=(0, 3))
@@ -257,6 +294,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     # DDIM-50-class quality at 20 NFE; order=1 ≡ canonical DDIM, tested) ----
     from dmme_tpu.diffusion import DPMSolverPP
 
+    set_stage("dpm20_sample")
     dpm = DPMSolverPP.create(timesteps=1000, sub_timesteps=20)
     dgen = jax.jit(dpm.generate, static_argnums=(0, 3))
     out = dgen(model_fn, params, jax.random.PRNGKey(1), (SAMPLE_BATCH, 32, 32, 3))
@@ -270,6 +308,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     # ---- EDM 18-step Heun (35 NFE; Karras et al. 2022 CIFAR-10 setting) ----
     from dmme_tpu.diffusion import EDM
 
+    set_stage("edm18_sample")
     edm = EDM.create(steps=18)
     egen = jax.jit(edm.generate, static_argnums=(0, 3))
     out = egen(model_fn, params, jax.random.PRNGKey(1), (SAMPLE_BATCH, 32, 32, 3))
@@ -284,6 +323,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     # targets this very-low-NFE regime — see tests/test_unipc.py) ----
     from dmme_tpu.diffusion import UniPC
 
+    set_stage("unipc10_sample")
     uni = UniPC.create(timesteps=1000, sub_timesteps=10)
     ugen = jax.jit(uni.generate, static_argnums=(0, 3))
     out = ugen(model_fn, params, jax.random.PRNGKey(1), (SAMPLE_BATCH, 32, 32, 3))
@@ -297,6 +337,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     # ---- opt-in encoder-reuse sampler (approximate; docs/performance.md) ----
     from dmme_tpu.diffusion import CachedDDIM
 
+    set_stage("cached_ddim_sample")
     fast = CachedDDIM.create(timesteps=1000, sub_timesteps=50, refresh_interval=2)
     fgen = jax.jit(fast.generate, static_argnums=(0, 3))
     out = fgen(lit.model, params, jax.random.PRNGKey(1), (SAMPLE_BATCH, 32, 32, 3))
@@ -311,6 +352,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     # 2nd-order solver's 20 NFE with the deep core refreshed every 2nd step ----
     from dmme_tpu.diffusion import DeepCachedDPM
 
+    set_stage("deep_dpm_sample")
     ddpm_fast = DeepCachedDPM.create(
         timesteps=1000, sub_timesteps=20, refresh_interval=2
     )
@@ -323,6 +365,7 @@ def run(jax, jnp, np, CIFAR10, DDIM, as_model_fn, make_train_chunk, LitDDPM,
     float(jnp.sum(out))
     deep_dpm_ips = SAMPLE_BATCH * SAMPLE_REPEATS / (time.perf_counter() - t0)
 
+    set_stage("emit_json")
     print(
         json.dumps(
             {
