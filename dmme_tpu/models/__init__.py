@@ -12,8 +12,10 @@ from dmme_tpu.models import ddpm
 from dmme_tpu.models import iddpm
 from dmme_tpu.models import adm
 from dmme_tpu.models import dit
+from dmme_tpu.models import vae
 from dmme_tpu.models.unet import UNet, build_topology
 from dmme_tpu.models.dit import DiT
+from dmme_tpu.models.vae import ConvVAE
 from dmme_tpu.models import blocks
 
 
@@ -46,6 +48,6 @@ def eps_only(model_fn):
 
 
 __all__ = [
-    "ddpm", "iddpm", "dit", "UNet", "DiT", "build_topology", "blocks",
-    "as_model_fn", "eps_only",
+    "ddpm", "iddpm", "dit", "vae", "UNet", "DiT", "ConvVAE",
+    "build_topology", "blocks", "as_model_fn", "eps_only",
 ]

@@ -104,10 +104,12 @@ class Sampler:
                         is not None,
                     )
 
-                    def raw(rng, _algo=algo, _shape=shape, _params=params):
-                        return _algo.generate(
+                    def raw(rng, _algo=algo,
+                            _shape=self.lit.sample_space_shape(shape),
+                            _params=params):
+                        return self.lit.to_images(_algo.generate(
                             self.lit.model, _params, rng, _shape
-                        )
+                        ))
                 else:
                     # shared factory with the sample subcommand: reuses the
                     # trained schedule/parameterization and adapts IDDPM's
@@ -118,13 +120,14 @@ class Sampler:
                         self.lit.diffusion_model, sampler, steps
                     )
 
-                    def raw(rng, _algo=algo, _adapt=adapt, _shape=shape,
+                    def raw(rng, _algo=algo, _adapt=adapt,
+                            _shape=self.lit.sample_space_shape(shape),
                             _params=params):
                         # conditional models: CFG wrapper w/ uniform labels
                         fn, rng = self.lit.sampling_model_fn(rng, _shape[0])
-                        return _algo.generate(
+                        return self.lit.to_images(_algo.generate(
                             _adapt(fn), _params, rng, _shape
-                        )
+                        ))
 
                 # jit so steady state never re-traces the sampling scan
                 # (state arrays are captured as compile-time constants)

@@ -177,6 +177,12 @@ def cmd_sample(config: Dict[str, Any]) -> None:
         from dmme_tpu.training.evaluate import _reject_conditioned_input
 
         _reject_conditioned_input(model, "sample --trainer.sampler")
+        if not hasattr(model, "diffusion_model"):
+            raise ValueError(
+                "sampler overrides need a diffusion harness; "
+                f"{type(model).__name__} has no solver to override "
+                "(a LitVAE samples its prior — drop --trainer.sampler)"
+            )
 
         import numpy as np
 
@@ -185,7 +191,11 @@ def cmd_sample(config: Dict[str, Any]) -> None:
         from dmme_tpu.utils.norm import denorm
         from dmme_tpu.utils.vis import make_history
 
-        shape = (n, img_size, img_size, model.img_channels)
+        # latent harnesses integrate the solver in latent space and decode
+        # (training/lit.py latent-space seam; identity for pixel harnesses)
+        shape = model.sample_space_shape(
+            (n, img_size, img_size, model.img_channels)
+        )
         # EMA-vs-raw resolved the same way lit.generate / serving do
         # (validate_original_weights knob) so all surfaces agree
         params = (
@@ -210,6 +220,7 @@ def cmd_sample(config: Dict[str, Any]) -> None:
             # conditional models sample through the CFG wrapper (uniform labels)
             model_fn, key = model.sampling_model_fn(jax.random.PRNGKey(step), n)
             out = algo.generate(adapt(model_fn), params, key, shape)
+        out = model.to_images(out)
         grid = make_history([np.asarray(denorm(out))])
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(

@@ -3,6 +3,8 @@
 from dmme_tpu.training.lit import (LitDDPM, LitDDIM, LitDistill, LitEDM,
                                     LitFlow, LitIDDPM, LitUpsampler)
 from dmme_tpu.training.classifier import LitClassifier
+from dmme_tpu.training.latent import (LatentMixin, LitLatentDDPM,
+                                      LitLatentFlow, LitVAE)
 from dmme_tpu.training.state import TrainState
 from dmme_tpu.training.ema import ema_update
 from dmme_tpu.training.lr_schedule import warmup_schedule
@@ -19,6 +21,10 @@ __all__ = [
     "LitDistill",
     "LitClassifier",
     "LitUpsampler",
+    "LitVAE",
+    "LitLatentDDPM",
+    "LitLatentFlow",
+    "LatentMixin",
     "TrainState",
     "ema_update",
     "warmup_schedule",

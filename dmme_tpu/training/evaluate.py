@@ -96,9 +96,16 @@ def validate(
 def _reject_conditioned_input(lit, where: str) -> None:
     """Conditioned-input models (LitUpsampler: network input = x_t ‖ cond)
     cannot run the unconditional generation paths — fail with the fix
-    instead of a cryptic conv shape error deep in the jitted scan."""
+    instead of a cryptic conv shape error deep in the jitted scan.
+
+    The comparison baseline is the width of the space the SOLVER
+    integrates — ``latent_channels`` for latent harnesses (whose denoiser
+    legitimately differs from img_channels), img_channels otherwise."""
     get = getattr(lit, "model_in_channels", None)
-    if get is not None and get() != getattr(lit, "img_channels", get()):
+    solver_ch = getattr(
+        lit, "latent_channels", getattr(lit, "img_channels", None)
+    )
+    if get is not None and solver_ch is not None and get() != solver_ch:
         raise ValueError(
             f"{where} has no conditioning source for a conditioned-input "
             f"model ({type(lit).__name__}); sample through "
@@ -140,6 +147,13 @@ def test(
         # ema.py:27-46): evaluate the raw weights instead of the EMA copy.
         use_ema = not getattr(lit, "validate_original_weights", False)
     _reject_conditioned_input(lit, "test")
+    if not hasattr(lit, "diffusion_model"):
+        raise ValueError(
+            f"evaluate() scores diffusion harnesses; {type(lit).__name__} "
+            "has no sampler. For a LitVAE, FID over prior decodes is not "
+            "the codec metric — use `validate` (reconstruction ELBO), or "
+            "evaluate the latent-diffusion harness trained on top of it."
+        )
     datamodule.prepare_data()
     datamodule.setup("test")
 
@@ -248,9 +262,15 @@ def test(
                 y = jax.random.randint(
                     y_key, (real.shape[0],), 0, lit.num_classes, jnp.int32
                 )
-            fake = gen(params, gen_rng, y, real.shape)
+            fake = gen(params, gen_rng, y, lit.sample_space_shape(real.shape))
         else:
-            fake = gen(base_model_fn, params, gen_rng, real.shape)
+            fake = gen(
+                base_model_fn, params, gen_rng,
+                lit.sample_space_shape(real.shape),
+            )
+        # latent harnesses decode solver output to images (identity for
+        # pixel-space harnesses — training/lit.py latent-space seam)
+        fake = lit.to_images(fake)
         fake = denorm(fake)  # [-1,1] -> [0,1]
         feats, logits = feature_fn(fake)
         fid.update(feats, real=False)

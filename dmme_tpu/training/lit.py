@@ -166,6 +166,10 @@ class LitDDPM:
             if datamodule is not None:
                 aug_rng, rng = jax.random.split(rng)
                 x = datamodule.train_transform(aug_rng, x)
+            # latent-space seam (training/latent.py LatentMixin): pixel
+            # harnesses pass through untouched (and the rng stream is only
+            # split by implementations that consume it)
+            x, rng = self.encode_target(rng, x)
             # aux_box collects MoE router losses sown during model calls in
             # THIS trace (models/moe.py); appending tracers to a python list
             # and consuming them in the same jaxpr is sound
@@ -224,11 +228,35 @@ class LitDDPM:
         z = sum(z_ for _, z_ in aux_box)
         return loss + self.moe_aux_weight * aux + self.moe_z_weight * z
 
+    # --------------------------------------------------- latent-space seam
+    # Identity in pixel-space harnesses; training/latent.py's LatentMixin
+    # overrides all four so any LitDDPM-family formulation trains/samples
+    # in a frozen VAE's latent space. Every sampling surface (sample CLI's
+    # --trainer.sampler override, evaluate(), serving) routes solver shapes
+    # through sample_space_shape and outputs through to_images.
+    def encode_target(self, rng, x):
+        """Training-target transform inside the loss trace; returns
+        (target, rng) and must NOT consume rng in the identity case (the
+        pixel harnesses' rng streams are pinned by tests)."""
+        return x, rng
+
+    def encode_eval(self, x):
+        return x
+
+    def sample_space_shape(self, img_shape):
+        """IMAGE shape → the shape the diffusion solver integrates."""
+        return img_shape
+
+    def to_images(self, out):
+        """Solver output → images (decode step of latent harnesses)."""
+        return out
+
     def eval_loss(self, params, rng, x, y=None):
         """Eval-mode diffusion loss on a processed batch (the validate
         path). Conditional models condition on the TRUE labels, no
         dropout; conditioned subclasses (LitUpsampler) bind their own
         model_fn here so evaluate() stays conditioning-agnostic."""
+        x = self.encode_eval(x)
         model_fn = self.model_fn
         if y is not None and self.num_classes is not None:
             y = jnp.asarray(y, jnp.int32)
