@@ -98,6 +98,7 @@ NAV_PAGES = [
     ("evaluation.html", "Evaluation"),
     ("operations.html", "Operations"),
     ("sampling.html", "Sampling"),
+    ("latent.html", "Latent diffusion"),
     ("api.html", "API"),
     ("migration.html", "Migration"),
     ("papers/ddpm.html", "· DDPM math"),

@@ -191,8 +191,12 @@ def main():
         algo, adapt = make_sampler(lit.diffusion_model, args.sampler, args.steps)
         model_fn = adapt(lit.model_fn)
     # ONE compiled shape serves both artifacts: the progression row shows
-    # the first n of the swd_n samples drawn per checkpoint
-    shape = (args.swd_n, img_size, img_size, lit.img_channels)
+    # the first n of the swd_n samples drawn per checkpoint. Latent
+    # harnesses integrate in latent space (training/lit.py seam — identity
+    # for pixel harnesses); to_images decodes before the pixel-space SWD.
+    shape = lit.sample_space_shape(
+        (args.swd_n, img_size, img_size, lit.img_channels)
+    )
     gen = jax.jit(algo.generate, static_argnums=(0, 3))
 
     real = dm.train_data[: args.swd_n].astype(np.float32) / 255.0
@@ -204,6 +208,7 @@ def main():
     for ckpt_step in all_steps:
         state = mgr.restore(state, step=ckpt_step)
         out = gen(model_fn, state.ema_params, rng, shape)  # same rng: paired
+        out = lit.to_images(out)
         out = np.clip(np.asarray(jax.device_get(denorm(out)), np.float32), 0, 1)
         swd[int(ckpt_step)] = sliced_wasserstein(out, real)
         rows.append(
@@ -228,11 +233,13 @@ def main():
     # ---- final large grid -------------------------------------------------
     from dmme_tpu.utils.vis import make_history
 
-    big_shape = (args.final_n, img_size, img_size, lit.img_channels)
+    big_shape = lit.sample_space_shape(
+        (args.final_n, img_size, img_size, lit.img_channels)
+    )
     big = jax.jit(algo.generate, static_argnums=(0, 3))(
         model_fn, state.ema_params, jax.random.PRNGKey(7), big_shape
     )
-    big = np.asarray(jax.device_get(denorm(big)), np.float32)
+    big = np.asarray(jax.device_get(denorm(lit.to_images(big))), np.float32)
     grid = make_history([big])
     from PIL import Image
 

@@ -63,10 +63,15 @@ def main():
     state = mgr.restore(state, step=max(mgr._mgr.all_steps()))
 
     real = dm.train_data[: args.n].astype(np.float32) / 255.0
-    shape = (args.n, img_size, img_size, lit.img_channels)
+    # latent harnesses integrate the solver in latent space and decode
+    # (training/lit.py seam; identity for pixel harnesses)
+    shape = lit.sample_space_shape(
+        (args.n, img_size, img_size, lit.img_channels)
+    )
     rng = jax.random.PRNGKey(args.seed)
 
     def swd_of(out):
+        out = lit.to_images(out)
         out = np.clip(np.asarray(jax.device_get(denorm(out)), np.float32), 0, 1)
         return sliced_wasserstein(out, real)
 
